@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: single-chip KITTI-scan inference throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline target: 500 scans/sec/chip on TPU v5e (BASELINE.json).
+
+Flagship SemanticKITTI configuration (500x500 BEV grid @ 0.16 m, Swin-T-192
+backbone, 45 queries, 9 decoder layers) in bfloat16, realistic scan sizes
+(~120k points/scan). Synthetic scans — the bench measures compute, not disk.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mask_bev_tpu.config import semantic_kitti_default
+    from mask_bev_tpu.models.maskbev import MaskBev
+
+    batch = 8
+    cfg = semantic_kitti_default().replace(
+        max_points_per_scan=131072,
+        max_num_pillars=32768,
+        pseudo_image_norm="full",
+    )
+    model = MaskBev(cfg)
+
+    rng = np.random.default_rng(0)
+    n = cfg.max_points_per_scan
+    r = rng.uniform(2, 50, (batch, n)) * np.sqrt(rng.uniform(0.1, 1, (batch, n)))
+    th = rng.uniform(-np.pi, np.pi, (batch, n))
+    pts = np.stack(
+        [r * np.cos(th), r * np.sin(th),
+         rng.uniform(-2, 1, (batch, n)), rng.uniform(0, 1, (batch, n))],
+        -1).astype(np.float32)
+    mask = np.ones((batch, n), bool)
+    # ~120k real points per scan
+    mask[:, 120_000:] = False
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(pts[:1]), jnp.asarray(mask[:1]),
+        train=False)
+    # bfloat16 inference: cast params + inputs; matmul accumulation stays f32
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+
+    @jax.jit
+    def fwd(pts, mask):
+        out = model.apply(variables, pts.astype(jnp.bfloat16), mask,
+                          train=False)
+        return out.cls_logits[-1], out.mask_logits[-1]
+
+    dp = jnp.asarray(pts)
+    dm = jnp.asarray(mask)
+    t0 = time.time()
+    jax.block_until_ready(fwd(dp, dm))
+    compile_s = time.time() - t0
+
+    # warmup + steady state
+    for _ in range(3):
+        jax.block_until_ready(fwd(dp, dm))
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(dp, dm)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / iters
+    scans_per_sec = batch / dt
+
+    # p50 single-batch latency
+    lat = []
+    for _ in range(10):
+        t0 = time.time()
+        jax.block_until_ready(fwd(dp, dm))
+        lat.append(time.time() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    print(json.dumps({
+        "metric": "kitti_scans_per_sec_per_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / 500.0, 4),
+        "p50_batch_latency_ms": round(p50_ms, 2),
+        "batch": batch,
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,355 @@
+"""Official-style KITTI AP evaluation (clean-room numpy rebuild).
+
+Covers the role of the reference's vendored kitti-object-eval-python port
+(reference ``evaluation/kitti_eval.py:82-967``; SURVEY.md §2.2 N2): 41
+recall-point AP for 2D bbox / BEV / 3D metrics with the official
+easy/moderate/hard gating (occlusion, truncation, 2D-box pixel height), the
+adaptive score-threshold schedule, and the greedy TP/FP/FN matcher. The
+numba CPU kernels and the numba.cuda rotated IoU become vectorized numpy +
+the jnp polygon-clipping IoU (:mod:`mask_bev_tpu.ops.rotated_iou`).
+
+Conventions: annos dicts mirror the reference
+(name/bbox/location/dimensions(l,h,w)/rotation_y/score/alpha/occluded/
+truncated); BEV/3D boxes are evaluated in the velodyne frame with z up
+(locations (x, y, z), dims (l, w, h), yaw about z). ``mask_to_boxes``
+converts predicted BEV masks to scored rotated boxes in meters via
+largest-component min-area-rect (ref ``mask_to_pred`` :27-45, with the
+pixel->meter conversion the reference leaves to the caller).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from mask_bev_tpu.config import MaskBevConfig
+from mask_bev_tpu.evaluation.average_precision import mask_to_min_area_box
+from mask_bev_tpu.ops.rotated_iou import rotate_iou_eval
+
+CLASS_NAMES = ["car", "pedestrian", "cyclist", "van", "person_sitting"]
+MIN_HEIGHT = [40, 25, 25]
+MAX_OCCLUSION = [0, 1, 2]
+MAX_TRUNCATION = [0.15, 0.3, 0.5]
+N_SAMPLE_PTS = 41
+
+
+def get_thresholds(scores: np.ndarray, num_gt: int,
+                   num_sample_pts: int = N_SAMPLE_PTS) -> np.ndarray:
+    """Adaptive score thresholds hitting ~evenly spaced recall points
+    (reference :100-120 semantics)."""
+    scores = np.sort(scores)[::-1]
+    thresholds = []
+    current_recall = 0.0
+    for i, score in enumerate(scores):
+        l_recall = (i + 1) / num_gt
+        r_recall = (i + 2) / num_gt if i < len(scores) - 1 else l_recall
+        if ((r_recall - current_recall) < (current_recall - l_recall)
+                and i < len(scores) - 1):
+            continue
+        thresholds.append(score)
+        current_recall += 1 / (num_sample_pts - 1.0)
+    return np.array(thresholds)
+
+
+def clean_data(gt_anno: dict, dt_anno: dict, current_class: int,
+               difficulty: int):
+    """Official gating: 0 = counted, 1 = ignored, -1 = irrelevant
+    (reference :122-178)."""
+    cls_name = CLASS_NAMES[current_class]
+    num_gt = len(gt_anno["name"])
+    num_dt = len(dt_anno["name"])
+    ignored_gt = np.full(num_gt, -1, np.int64)
+    ignored_dt = np.full(num_dt, -1, np.int64)
+    num_valid_gt = 0
+    for i in range(num_gt):
+        name = str(gt_anno["name"][i]).lower()
+        if name == cls_name:
+            valid = 1
+        elif cls_name == "pedestrian" and name == "person_sitting":
+            valid = 0
+        elif cls_name == "car" and name == "van":
+            valid = 0
+        else:
+            valid = -1
+        bbox = gt_anno["bbox"][i]
+        height = bbox[3] - bbox[1]
+        ignore = (
+            gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
+            or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
+            or height <= MIN_HEIGHT[difficulty]
+        )
+        if valid == 1 and not ignore:
+            ignored_gt[i] = 0
+            num_valid_gt += 1
+        elif valid == 0 or (ignore and valid == 1):
+            ignored_gt[i] = 1
+    for i in range(num_dt):
+        name = str(dt_anno["name"][i]).lower()
+        height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
+        if height < MIN_HEIGHT[difficulty]:
+            ignored_dt[i] = 1
+        elif name == cls_name:
+            ignored_dt[i] = 0
+    return num_valid_gt, ignored_gt, ignored_dt
+
+
+def image_box_overlap(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """2D axis-aligned IoU (x1,y1,x2,y2): (N,4) x (M,4) -> (N,M)."""
+    n, m = len(boxes), len(query)
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    lt = np.maximum(boxes[:, None, :2], query[None, :, :2])
+    rb = np.minimum(boxes[:, None, 2:], query[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    area_b = (query[:, 2] - query[:, 0]) * (query[:, 3] - query[:, 1])
+    union = area_a[:, None] + area_b[None] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _bev_boxes(anno: dict) -> np.ndarray:
+    """annos -> (N, 5) [x, y, w, l, yaw] for the rotated IoU kernel."""
+    loc = np.asarray(anno["location"], np.float64).reshape(-1, 3)
+    dims = np.asarray(anno["dimensions"], np.float64).reshape(-1, 3)  # (l,h,w)
+    rot = np.asarray(anno["rotation_y"], np.float64).reshape(-1)
+    return np.stack([loc[:, 0], loc[:, 1], dims[:, 2], dims[:, 0], rot], -1)
+
+
+def bev_box_overlap(gt_anno: dict, dt_anno: dict) -> np.ndarray:
+    return rotate_iou_eval(_bev_boxes(gt_anno), _bev_boxes(dt_anno))
+
+
+def d3_box_overlap(gt_anno: dict, dt_anno: dict) -> np.ndarray:
+    """3D IoU: BEV intersection x vertical overlap (z up, boxes sit on z0)."""
+    bev_g, bev_d = _bev_boxes(gt_anno), _bev_boxes(dt_anno)
+    iou_bev = rotate_iou_eval(bev_g, bev_d)
+    if iou_bev.size == 0:
+        return iou_bev
+    area_g = bev_g[:, 2] * bev_g[:, 3]
+    area_d = bev_d[:, 2] * bev_d[:, 3]
+    # recover intersection area from IoU
+    inter_bev = iou_bev * (area_g[:, None] + area_d[None]) / (1.0 + iou_bev)
+    zg0 = np.asarray(gt_anno["location"], np.float64).reshape(-1, 3)[:, 2]
+    zd0 = np.asarray(dt_anno["location"], np.float64).reshape(-1, 3)[:, 2]
+    hg = np.asarray(gt_anno["dimensions"], np.float64).reshape(-1, 3)[:, 1]
+    hd = np.asarray(dt_anno["dimensions"], np.float64).reshape(-1, 3)[:, 1]
+    z_lo = np.maximum(zg0[:, None], zd0[None])
+    z_hi = np.minimum((zg0 + hg)[:, None], (zd0 + hd)[None])
+    inter_h = np.clip(z_hi - z_lo, 0, None)
+    inter = inter_bev * inter_h
+    vol_g = area_g * hg
+    vol_d = area_d * hd
+    union = vol_g[:, None] + vol_d[None] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def compute_statistics(
+    overlaps: np.ndarray,  # (num_gt, num_dt)
+    gt_ignored: np.ndarray,
+    dt_ignored: np.ndarray,
+    dt_scores: np.ndarray,
+    min_overlap: float,
+    score_threshold: float,
+    compute_fp: bool = True,
+) -> Tuple[int, int, int, List[float]]:
+    """Greedy matcher (reference ``compute_statistics_jit`` :266-384)."""
+    num_gt, num_dt = overlaps.shape
+    assigned = np.zeros(num_dt, bool)
+    valid_det = (dt_scores >= score_threshold) & (dt_ignored != -1)
+    tp = fp = fn = 0
+    matched_scores = []
+    for i in range(num_gt):
+        if gt_ignored[i] == -1:
+            continue
+        det_idx = -1
+        max_overlap = 0.0
+        assigned_ignored = False
+        for j in range(num_dt):
+            if not valid_det[j] or assigned[j]:
+                continue
+            ov = overlaps[i, j]
+            if ov < min_overlap:
+                continue
+            if dt_ignored[j] == 0 and (ov > max_overlap or assigned_ignored):
+                max_overlap = ov
+                det_idx = j
+                assigned_ignored = False
+            elif dt_ignored[j] == 1 and det_idx == -1:
+                det_idx = j
+                assigned_ignored = True
+        if det_idx == -1:
+            if gt_ignored[i] == 0:
+                fn += 1
+        else:
+            assigned[det_idx] = True
+            if gt_ignored[i] == 0 and dt_ignored[det_idx] == 0:
+                tp += 1
+                matched_scores.append(float(dt_scores[det_idx]))
+    if compute_fp:
+        for j in range(num_dt):
+            if valid_det[j] and not assigned[j] and dt_ignored[j] == 0:
+                fp += 1
+    return tp, fp, fn, matched_scores
+
+
+def eval_class(gt_annos: List[dict], dt_annos: List[dict], current_class: int,
+               difficulty: int, metric: str, min_overlap: float) -> np.ndarray:
+    """Precision at 41 recall points for one (class, difficulty, metric)."""
+    assert len(gt_annos) == len(dt_annos)
+    per_frame = []
+    total_valid_gt = 0
+    for gt, dt in zip(gt_annos, dt_annos):
+        num_valid, ig_gt, ig_dt = clean_data(gt, dt, current_class, difficulty)
+        total_valid_gt += num_valid
+        if metric == "bbox":
+            ov = image_box_overlap(np.asarray(gt["bbox"]).reshape(-1, 4),
+                                   np.asarray(dt["bbox"]).reshape(-1, 4))
+        elif metric == "bev":
+            ov = bev_box_overlap(gt, dt)
+        elif metric == "3d":
+            ov = d3_box_overlap(gt, dt)
+        else:
+            raise ValueError(metric)
+        per_frame.append((ov, ig_gt, ig_dt,
+                          np.asarray(dt["score"], np.float64).reshape(-1)))
+
+    if total_valid_gt == 0:
+        return np.zeros(N_SAMPLE_PTS)
+
+    # thresholds from TP scores at threshold 0
+    all_scores = []
+    for ov, ig_gt, ig_dt, scores in per_frame:
+        _, _, _, ms = compute_statistics(
+            ov, ig_gt, ig_dt, scores, min_overlap, 0.0, compute_fp=False)
+        all_scores.extend(ms)
+    thresholds = get_thresholds(np.asarray(all_scores), total_valid_gt)
+
+    precision = np.zeros(N_SAMPLE_PTS)
+    for t_idx, thresh in enumerate(thresholds):
+        tp = fp = fn = 0
+        for ov, ig_gt, ig_dt, scores in per_frame:
+            a, b, c, _ = compute_statistics(
+                ov, ig_gt, ig_dt, scores, min_overlap, thresh)
+            tp += a; fp += b; fn += c
+        if tp + fp > 0:
+            precision[t_idx] = tp / (tp + fp)
+    # envelope (official: precision[i] = max(precision[i:]))
+    for i in range(N_SAMPLE_PTS):
+        precision[i] = precision[i:].max() if i < len(precision) else 0
+    return precision
+
+
+def get_mAP(precision: np.ndarray) -> float:
+    """11-point sampling of the 41-point curve (reference :93-97)."""
+    return float(sum(precision[::4]) / 11 * 100)
+
+
+DEFAULT_MIN_OVERLAPS = {  # (class) -> (bbox, bev, 3d) moderate overlaps
+    0: (0.7, 0.7, 0.7),  # car
+    1: (0.5, 0.5, 0.5),  # pedestrian
+    2: (0.5, 0.5, 0.5),  # cyclist
+    3: (0.7, 0.7, 0.7),  # van
+    4: (0.5, 0.5, 0.5),  # person_sitting
+}
+
+
+def get_official_eval_result(gt_annos: List[dict], dt_annos: List[dict],
+                             current_classes: Sequence[int] = (0,),
+                             difficulties: Sequence[int] = (0, 1, 2)
+                             ) -> Dict[str, Dict[str, List[float]]]:
+    """{class_name: {metric: [AP per difficulty]}} (reference :802-879)."""
+    out: Dict[str, Dict[str, List[float]]] = {}
+    for cls in current_classes:
+        name = CLASS_NAMES[cls]
+        out[name] = {}
+        for metric in ("bbox", "bev", "3d"):
+            min_ov = DEFAULT_MIN_OVERLAPS[cls][("bbox", "bev", "3d").index(metric)]
+            aps = []
+            for diff in difficulties:
+                prec = eval_class(gt_annos, dt_annos, cls, diff, metric, min_ov)
+                aps.append(get_mAP(prec))
+            out[name][metric] = aps
+    return out
+
+
+# ---- MaskBEV glue: predicted masks -> scored BEV boxes -> annos ----
+
+def mask_to_boxes(cls_probs: np.ndarray, masks: np.ndarray,
+                  cfg: MaskBevConfig, score_threshold: float = 0.0,
+                  mask_threshold: float = 0.5):
+    """Per-query sigmoid masks -> rotated boxes in meters + scores.
+
+    cls_probs: (Q, K+1) softmax scores; masks: (Q, h, w) sigmoid probs at any
+    resolution covering the BEV range. A query predicts an object when its
+    argmax class is non-background; score = that class prob.
+    """
+    q, h, w = masks.shape
+    sx = (cfg.x_range[1] - cfg.x_range[0]) / w
+    sy = (cfg.y_range[1] - cfg.y_range[0]) / h
+    boxes, scores, labels = [], [], []
+    for i in range(q):
+        c = int(np.argmax(cls_probs[i]))
+        score = float(cls_probs[i, c])
+        # non-background = any class except index 0 ("no object" in the
+        # reference's unflipped label convention; see datasets docstrings)
+        if c == 0 or score < score_threshold:
+            continue
+        rect = mask_to_min_area_box(masks[i] > mask_threshold)
+        if rect is None:
+            continue
+        (pcx, pcy), (pw, pl), ang = rect[0], rect[1], rect[2]
+        cx = cfg.x_range[0] + (pcx + 0.5) * sx
+        cy = cfg.y_range[0] + (pcy + 0.5) * sy
+        boxes.append([cx, cy, pl * sy, pw * sx, ang])  # (x, y, w, l, yaw)
+        scores.append(score)
+        labels.append(c)
+    return (np.asarray(boxes, np.float64).reshape(-1, 5),
+            np.asarray(scores), np.asarray(labels, np.int64))
+
+
+def boxes_to_annos(boxes: np.ndarray, scores: np.ndarray,
+                   names: Sequence[str] = None, height: float = 1.6) -> dict:
+    """(N,5) BEV boxes + scores -> annos dict (dummy 2D bbox tall enough to
+    pass MIN_HEIGHT, like the reference's ``_preds_to_annos`` :66-79)."""
+    n = len(scores)
+    names = list(names) if names is not None else ["Car"] * n
+    loc = np.zeros((n, 3))
+    dims = np.zeros((n, 3))
+    rot = np.zeros(n)
+    if n:
+        loc[:, 0] = boxes[:, 0]
+        loc[:, 1] = boxes[:, 1]
+        dims[:, 0] = boxes[:, 3]  # l
+        dims[:, 1] = height  # h
+        dims[:, 2] = boxes[:, 2]  # w
+        rot = boxes[:, 4]
+    return dict(
+        name=np.asarray(names), bbox=np.tile([0, 0, 0, 100.0], (n, 1)),
+        location=loc, dimensions=dims, rotation_y=rot,
+        score=np.asarray(scores, np.float64),
+        alpha=np.zeros(n), occluded=np.zeros(n, np.int64),
+        truncated=np.zeros(n))
+
+
+def gt_boxes_to_annos(centers: np.ndarray, dims_lwh: np.ndarray,
+                      yaws: np.ndarray, names: Sequence[str],
+                      occluded: np.ndarray = None,
+                      truncated: np.ndarray = None,
+                      bbox: np.ndarray = None) -> dict:
+    n = len(yaws)
+    dims = np.zeros((n, 3))
+    if n:
+        dims[:, 0] = dims_lwh[:, 0]
+        dims[:, 1] = dims_lwh[:, 2]
+        dims[:, 2] = dims_lwh[:, 1]
+    return dict(
+        name=np.asarray(list(names)),
+        bbox=(bbox if bbox is not None else np.tile([0, 0, 0, 100.0], (n, 1))),
+        location=np.asarray(centers, np.float64).reshape(-1, 3),
+        dimensions=dims,
+        rotation_y=np.asarray(yaws, np.float64),
+        score=np.zeros(n),
+        alpha=np.zeros(n),
+        occluded=(occluded if occluded is not None else np.zeros(n, np.int64)),
+        truncated=(truncated if truncated is not None else np.zeros(n)))

@@ -1,0 +1,224 @@
+"""Hungarian matching + deep-supervised losses, fully batched on-device.
+
+Rebuilds the reference loss path (``mask2former_head.py:246-426`` +
+assigner config at ``mask_bev_panoptic_head.py:197-213``) with TPU-native
+semantics: no per-image python loops, no host sync — matching and losses are
+vmapped over (layer, image) with padded GT and validity masks.
+
+Pieces and their reference anchors:
+  * matching cost = 2.0 * ClassificationCost + 5.0 * CrossEntropyLossCost
+    (binary, on 12544 uniformly sampled mask points) + 5.0 * DiceCost
+    (naive dice, eps=1.0)  — ``mask_bev_panoptic_head.py:200-213``;
+  * classification: softmax CE over Q queries, background class appended at
+    index ``num_classes`` with class weight 0.1 (optionally reversed:
+    ``head_reverse_class_weights``, ref :101-103), normalized by
+    sum of per-label class weights — ``mask2former_head.py:360-373``;
+  * mask loss: sigmoid BCE on PointRend uncertainty-sampled points,
+    avg_factor = num_total_masks * num_points — ref :401-424;
+  * dice loss: naive dice (eps=1.0) on the same sampled points,
+    avg_factor = num_total_masks — ref :401-424;
+  * optional height: 12-way CE on matched queries, labels binned as
+    ``round((h - 1) / 0.2) + 1`` clipped to [0, 11] — ref :380-382,451;
+  * deep supervision: all L+1 head passes summed — ref :283-298 and
+    ``mask_bev_module.py:193-195``;
+  * ``num_total_masks`` is computed on the GLOBAL (sharded) batch under
+    pjit, which reproduces the reference's cross-rank ``reduce_mean``
+    normalizer (ref :388) without explicit collectives.
+"""
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mask_bev_tpu.config import MaskBevConfig
+from mask_bev_tpu.models.mask2former import DecoderOutputs
+from mask_bev_tpu.ops.hungarian import match
+from mask_bev_tpu.ops.point_sample import point_sample, uncertain_point_coords
+
+
+class MatchResult(NamedTuple):
+    gt_of_query: jax.Array  # (..., Q) int32, -1 = unmatched
+    matched: jax.Array  # (..., Q) bool
+
+
+def _binary_ce_cost(pred_logits_pts, gt_pts):
+    """Pairwise mean binary CE: (Q, P) logits x (G, P) targets -> (Q, G)."""
+    p = pred_logits_pts.shape[-1]
+    pos = jax.nn.softplus(-pred_logits_pts)  # cost if target=1
+    neg = jax.nn.softplus(pred_logits_pts)  # cost if target=0
+    cost = (
+        jnp.einsum("qp,gp->qg", pos, gt_pts, preferred_element_type=jnp.float32)
+        + jnp.einsum("qp,gp->qg", neg, 1.0 - gt_pts,
+                     preferred_element_type=jnp.float32)
+    )
+    return cost / p
+
+
+def _dice_cost(pred_logits_pts, gt_pts, eps: float = 1.0):
+    """Pairwise naive-dice cost: (Q, P) x (G, P) -> (Q, G)."""
+    pr = jax.nn.sigmoid(pred_logits_pts)
+    num = 2.0 * jnp.einsum("qp,gp->qg", pr, gt_pts,
+                           preferred_element_type=jnp.float32)
+    den = pr.sum(-1)[:, None] + gt_pts.sum(-1)[None, :]
+    return 1.0 - (num + eps) / (den + eps)
+
+
+def class_weights(cfg: MaskBevConfig) -> jnp.ndarray:
+    """Per-class CE weights; background (last index) down-weighted to 0.1
+    unless reversed (ref mask_bev_panoptic_head.py:101-103)."""
+    k = cfg.head_num_classes
+    if cfg.head_reverse_class_weights:
+        return jnp.concatenate(
+            [jnp.full((k,), cfg.head_bg_cls_weight), jnp.ones((1,))])
+    return jnp.concatenate([jnp.ones((k,)), jnp.full((1,), cfg.head_bg_cls_weight)])
+
+
+def match_layer(
+    rng: jax.Array,
+    cls_logits: jax.Array,  # (B, Q, K+1)
+    mask_logits: jax.Array,  # (B, Q, H, W)
+    gt_labels: jax.Array,  # (B, G) int32 in [0, K)
+    gt_masks: jax.Array,  # (B, G, H, W) float {0,1}
+    gt_valid: jax.Array,  # (B, G) bool
+    cfg: MaskBevConfig,
+) -> MatchResult:
+    """Hungarian matching for one head pass over the batch."""
+    b = cls_logits.shape[0]
+    num_pts = cfg.head_num_points
+
+    def per_image(key, cls_l, mask_l, labels, masks, valid):
+        pts = jax.random.uniform(key, (num_pts, 2))
+        pred_pts = point_sample(mask_l, pts)  # (Q, P)
+        gt_pts = point_sample(masks, pts)  # (G, P)
+        scores = jax.nn.softmax(cls_l, axis=-1)
+        cost_cls = -scores[:, labels]  # (Q, G)
+        cost_mask = _binary_ce_cost(pred_pts, gt_pts)
+        cost_dice = _dice_cost(pred_pts, gt_pts)
+        cost = (
+            cfg.head_cls_weight * cost_cls
+            + cfg.head_mask_weight * cost_mask
+            + cfg.head_dice_weight * cost_dice
+        )
+        return match(cost, valid.sum())
+
+    keys = jax.random.split(rng, b)
+    gt_of_query, matched = jax.vmap(per_image)(
+        keys, cls_logits, mask_logits, gt_labels,
+        gt_masks.astype(mask_logits.dtype), gt_valid)
+    return MatchResult(gt_of_query, matched)
+
+
+def layer_losses(
+    rng: jax.Array,
+    cls_logits: jax.Array,
+    mask_logits: jax.Array,
+    height_logits: Optional[jax.Array],
+    gt_labels: jax.Array,
+    gt_masks: jax.Array,
+    gt_valid: jax.Array,
+    gt_heights: Optional[jax.Array],
+    cfg: MaskBevConfig,
+) -> Tuple[Dict[str, jax.Array], MatchResult]:
+    """Losses for one head pass. All reductions use GLOBAL batch statistics."""
+    b, q = cls_logits.shape[:2]
+    k = cfg.head_num_classes
+    rng_match, rng_pts = jax.random.split(rng)
+    mr = match_layer(
+        rng_match, cls_logits, mask_logits, gt_labels, gt_masks, gt_valid, cfg)
+
+    num_total_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
+
+    # --- classification ---
+    safe_gt = jnp.clip(mr.gt_of_query, 0, gt_labels.shape[1] - 1)
+    matched_labels = jnp.take_along_axis(gt_labels, safe_gt, axis=1)
+    labels = jnp.where(mr.matched, matched_labels, k)  # bg = index k
+    cw = class_weights(cfg)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    w = cw[labels]
+    loss_cls = cfg.head_cls_weight * (ce * w).sum() / jnp.maximum(w.sum(), 1e-6)
+
+    # --- mask + dice on uncertainty-sampled points ---
+    flat_masks = mask_logits.reshape(b * q, *mask_logits.shape[2:])
+    coords = uncertain_point_coords(
+        rng_pts, jax.lax.stop_gradient(flat_masks), cfg.head_num_points,
+        cfg.head_oversample_ratio, cfg.head_importance_sample_ratio)
+    pred_pts = jax.vmap(point_sample)(flat_masks, coords)  # (B*Q, P)
+    # target mask per query: matched gt mask (zeros when unmatched; weighted out)
+    tgt = jnp.take_along_axis(
+        gt_masks.astype(mask_logits.dtype),
+        safe_gt[..., None, None], axis=1)  # (B, Q, H, W)
+    flat_tgt = tgt.reshape(b * q, *tgt.shape[2:])
+    tgt_pts = jax.vmap(point_sample)(flat_tgt, coords)
+    wmask = mr.matched.reshape(-1).astype(jnp.float32)  # (B*Q,)
+
+    p = cfg.head_num_points
+    bce = (
+        jax.nn.softplus(-pred_pts) * tgt_pts
+        + jax.nn.softplus(pred_pts) * (1.0 - tgt_pts)
+    ).sum(-1)
+    loss_mask = cfg.head_mask_weight * (bce * wmask).sum() / (num_total_masks * p)
+
+    pr = jax.nn.sigmoid(pred_pts)
+    num = 2.0 * (pr * tgt_pts).sum(-1)
+    den = pr.sum(-1) + tgt_pts.sum(-1)
+    dice = 1.0 - (num + 1.0) / (den + 1.0)
+    loss_dice = cfg.head_dice_weight * (dice * wmask).sum() / num_total_masks
+
+    out = {"loss_cls": loss_cls, "loss_mask": loss_mask, "loss_dice": loss_dice}
+
+    # --- optional height (12-way CE on matched queries; ref :380-382,451) ---
+    if height_logits is not None and gt_heights is not None:
+        hbin = jnp.clip(
+            jnp.round((gt_heights - 1.0) / 0.2).astype(jnp.int32) + 1,
+            0, cfg.head_num_height_bins - 1)
+        tgt_h = jnp.take_along_axis(hbin, safe_gt, axis=1)  # (B, Q)
+        logp_h = jax.nn.log_softmax(height_logits.astype(jnp.float32), axis=-1)
+        ce_h = -jnp.take_along_axis(logp_h, tgt_h[..., None], axis=-1)[..., 0]
+        wm = mr.matched.astype(jnp.float32)
+        out["loss_height"] = (
+            cfg.head_height_weight * (ce_h * wm).sum() / num_total_masks)
+    return out, mr
+
+
+def maskbev_loss(
+    rng: jax.Array,
+    outputs: DecoderOutputs,
+    gt_labels: jax.Array,
+    gt_masks: jax.Array,
+    gt_valid: jax.Array,
+    gt_heights: Optional[jax.Array],
+    cfg: MaskBevConfig,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Deep-supervised loss over all L+1 head passes.
+
+    GT masks are given at the pseudo-image resolution (H, W); the reference
+    interpolates predictions to GT size for loss point-sampling — here both
+    are sampled in normalized coords so no resize is needed.
+
+    Returns (total_loss, dict of per-layer loss vectors + totals).
+    """
+    num_layers = outputs.cls_logits.shape[0]
+    keys = jax.random.split(rng, num_layers)
+
+    def one_layer(key, cls_l, mask_l, height_l):
+        losses, _ = layer_losses(
+            key, cls_l, mask_l, height_l, gt_labels, gt_masks, gt_valid,
+            gt_heights, cfg)
+        return losses
+
+    if outputs.height_logits is not None:
+        losses = jax.vmap(one_layer)(
+            keys, outputs.cls_logits, outputs.mask_logits, outputs.height_logits)
+    else:
+        losses = jax.vmap(lambda k, c, m: one_layer(k, c, m, None))(
+            keys, outputs.cls_logits, outputs.mask_logits)
+
+    # reference sums every '*loss*' entry across layers (mask_bev_module.py:193-195)
+    total = sum(v.sum() for v in losses.values())
+    logs = {f"{name}_layers": v for name, v in losses.items()}
+    logs.update({name: v.sum() for name, v in losses.items()})
+    logs["loss"] = total
+    return total, logs

@@ -35,7 +35,7 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = 0.99  # torch momentum 0.01 == ema decay 0.99
     eps: float = 1e-3
-    use_running_average: bool = False
+    use_running_average: bool | None = None
 
     @nn.compact
     def __call__(self, x, mask, use_running_average: bool | None = None):
@@ -196,9 +196,10 @@ class PseudoImageNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # (B, C, H, W)
         _, c, h, w = x.shape
-        mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(x, axis=(1, 2, 3), keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        xf = x.astype(jnp.float32)  # stats in f32 even under bf16 inference
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.mode == "full":
             scale = self.param("scale", nn.initializers.ones, (c, h, w))
             bias = self.param("bias", nn.initializers.zeros, (c, h, w))

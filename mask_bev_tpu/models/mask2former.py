@@ -1,0 +1,198 @@
+"""Mask2Former-style query decoder with masked cross-attention.
+
+Rebuilds the behavior of the reference's vendored head (reference
+``models/networks/mask2former_head/mask2former_head.py:428-562``):
+
+  * learned ``query_feat`` / ``query_embed`` / ``level_embed`` (ref :110-114);
+  * per-layer head pass (ref ``_forward_head`` :428-472): decoder-norm ->
+    linear cls, 3-layer mask MLP, mask logits = einsum('bqc,bchw->bqhw')
+    (ref :459), optional 12-way height classification (ref :116-120,451);
+  * attention mask = sigmoid(resized mask logits) < 0.5, detached, with
+    all-background query rows cleared (ref :460-470, 538-539);
+  * 9 decoder layers cycling memory levels i % 3 (/32, /16, /8), each layer
+    masked cross-attn -> self-attn -> FFN with post-norm residuals;
+  * predictions returned for the initial head pass + every layer
+    (10 outputs, stacked along a leading axis instead of python lists).
+
+TPU-first: everything static-shape; attention masks are additive big-negative
+biases so the whole decoder is one fused XLA graph; outputs stack to
+(L+1, B, Q, ...) tensors.
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mask_bev_tpu.models.positional import sine_positional_encoding_2d
+
+_NEG = -1e9
+
+
+class DecoderOutputs(NamedTuple):
+    """Stacked per-layer predictions (leading axis = L+1 head passes)."""
+
+    cls_logits: jax.Array  # (L+1, B, Q, num_classes+1)
+    mask_logits: jax.Array  # (L+1, B, Q, H/4, W/4)
+    height_logits: Optional[jax.Array]  # (L+1, B, Q, num_height_bins) | None
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with optional additive attention bias (B, Q, K) or (B, H, Q, K)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, q, k, v, attn_bias=None):
+        b, nq, c = q.shape
+        h = self.num_heads
+        hd = c // h
+        qp = nn.Dense(c, name="q")(q).reshape(b, nq, h, hd)
+        kp = nn.Dense(c, name="k")(k).reshape(b, k.shape[1], h, hd)
+        vp = nn.Dense(c, name="v")(v).reshape(b, v.shape[1], h, hd)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", qp * (hd**-0.5), kp,
+                          preferred_element_type=jnp.float32)
+        if attn_bias is not None:
+            if attn_bias.ndim == 3:
+                attn_bias = attn_bias[:, None]
+            attn = attn + attn_bias
+        attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp,
+                         preferred_element_type=jnp.float32).astype(q.dtype)
+        return nn.Dense(c, name="out")(out.reshape(b, nq, c))
+
+
+class FFN(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.hidden, name="fc1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.dim, name="fc2")(y)
+        return y
+
+
+class MaskHeads(nn.Module):
+    """Per-layer prediction heads, shared across layers (ref :428-459)."""
+
+    num_classes: int
+    feat_channels: int
+    out_channels: int
+    predict_height: bool = False
+    num_height_bins: int = 12
+
+    @nn.compact
+    def __call__(self, query, mask_features):
+        # query: (B, Q, C); mask_features: (B, Cout, H, W)
+        x = nn.LayerNorm(name="decoder_norm")(query)
+        cls_logits = nn.Dense(self.num_classes + 1, name="cls_embed")(x)
+        y = nn.Dense(self.feat_channels, name="mask_mlp1")(x)
+        y = nn.relu(y)
+        y = nn.Dense(self.feat_channels, name="mask_mlp2")(y)
+        y = nn.relu(y)
+        mask_embed = nn.Dense(self.out_channels, name="mask_mlp3")(y)
+        mask_logits = jnp.einsum(
+            "bqc,bchw->bqhw", mask_embed, mask_features,
+            preferred_element_type=jnp.float32,
+        ).astype(query.dtype)
+        height_logits = None
+        if self.predict_height:
+            height_logits = nn.Dense(self.num_height_bins, name="height_embed")(x)
+        return cls_logits, mask_logits, height_logits
+
+
+def _make_attn_bias(mask_logits, target_hw):
+    """mask logits (B, Q, H, W) -> additive bias (B, Q, hl*wl), detached.
+
+    sigmoid(resize(mask)) < 0.5 -> blocked (big negative); query rows that
+    would block everything are cleared (ref mask2former_head.py:460-470).
+    """
+    b, q, _, _ = mask_logits.shape
+    hl, wl = target_hw
+    m = jax.image.resize(mask_logits, (b, q, hl, wl), method="bilinear")
+    blocked = jax.nn.sigmoid(m) < 0.5
+    blocked = blocked.reshape(b, q, hl * wl)
+    all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
+    blocked = jnp.where(all_blocked, False, blocked)
+    bias = jnp.where(blocked, _NEG, 0.0).astype(jnp.float32)
+    return jax.lax.stop_gradient(bias)
+
+
+class Mask2FormerDecoder(nn.Module):
+    """Queries x 3-level memories -> per-layer (cls, mask[, height]) logits."""
+
+    num_queries: int = 45
+    num_classes: int = 1
+    num_layers: int = 9
+    feat_channels: int = 256
+    out_channels: int = 256
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    predict_height: bool = False
+    num_height_bins: int = 12
+
+    @nn.compact
+    def __call__(self, mask_features, memories: Sequence[jax.Array],
+                 train: bool = True) -> DecoderOutputs:
+        c = self.feat_channels
+        b = mask_features.shape[0]
+        nl = len(memories)  # 3
+
+        query_feat = self.param(
+            "query_feat", nn.initializers.normal(1.0), (self.num_queries, c))
+        query_embed = self.param(
+            "query_embed", nn.initializers.normal(1.0), (self.num_queries, c))
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (nl, c))
+
+        # flatten memories + precompute static sine PEs
+        mems, pes, hws = [], [], []
+        for i, mem in enumerate(memories):
+            _, mc, hl, wl = mem.shape
+            hws.append((hl, wl))
+            flat = jnp.transpose(mem.reshape(b, mc, hl * wl), (0, 2, 1))
+            mems.append(flat + level_embed[i][None, None])
+            pes.append(
+                sine_positional_encoding_2d(hl, wl, num_feats=c // 2)
+                .astype(mem.dtype)[None]
+            )
+
+        heads = MaskHeads(
+            self.num_classes, c, self.out_channels,
+            self.predict_height, self.num_height_bins, name="heads",
+        )
+
+        out = jnp.broadcast_to(query_feat[None], (b, self.num_queries, c))
+        qpos = query_embed[None]
+
+        cls_list, mask_list, height_list = [], [], []
+        cls_l, mask_l, height_l = heads(out, mask_features)
+        cls_list.append(cls_l); mask_list.append(mask_l); height_list.append(height_l)
+
+        for i in range(self.num_layers):
+            lvl = i % nl
+            bias = _make_attn_bias(mask_l, hws[lvl])
+            # masked cross-attention (queries attend to foreground pixels)
+            y = MultiHeadAttention(c, self.num_heads, name=f"layer{i}_cross")(
+                out + qpos, mems[lvl] + pes[lvl], mems[lvl], attn_bias=bias)
+            out = nn.LayerNorm(name=f"layer{i}_norm1")(out + y)
+            # self-attention among queries
+            y = MultiHeadAttention(c, self.num_heads, name=f"layer{i}_self")(
+                out + qpos, out + qpos, out)
+            out = nn.LayerNorm(name=f"layer{i}_norm2")(out + y)
+            y = FFN(c, self.ffn_dim, name=f"layer{i}_ffn")(out)
+            out = nn.LayerNorm(name=f"layer{i}_norm3")(out + y)
+
+            cls_l, mask_l, height_l = heads(out, mask_features)
+            cls_list.append(cls_l); mask_list.append(mask_l); height_list.append(height_l)
+
+        return DecoderOutputs(
+            cls_logits=jnp.stack(cls_list),
+            mask_logits=jnp.stack(mask_list),
+            height_logits=(jnp.stack(height_list) if self.predict_height else None),
+        )

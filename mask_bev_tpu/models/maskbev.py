@@ -1,0 +1,84 @@
+"""Full MaskBEV model: raw padded scans -> per-layer (cls, mask[, height]) logits.
+
+The TPU equivalent of the reference task module's model stack
+(``mask_bev_module.py:34-100,174-187``): encoder -> backbone -> panoptic head,
+with the same three-phase public API (``forward_encode`` / ``forward_backbone``
+/ ``pred_masks``) exposed via the ``phase`` argument so figure/inference
+tooling can tap intermediate features.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mask_bev_tpu.config import MaskBevConfig
+from mask_bev_tpu.models.encoder import MaskBevEncoder
+from mask_bev_tpu.models.mask2former import DecoderOutputs, Mask2FormerDecoder
+from mask_bev_tpu.models.pixel_decoder import PixelDecoder
+from mask_bev_tpu.models.swin import SwinTransformer
+
+
+class MaskBev(nn.Module):
+    """config-driven assembly of the full detection model."""
+
+    cfg: MaskBevConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = MaskBevEncoder(
+            x_range=tuple(c.x_range), y_range=tuple(c.y_range),
+            z_range=tuple(c.z_range), voxel_size=c.voxel_size,
+            feat_channels=tuple(c.encoder_feat_channels),
+            max_points_per_pillar=c.max_num_points,
+            max_pillars=c.max_num_pillars,
+            point_dim=c.pc_point_dim,
+            encoding_type=c.encoder_encoding_type,
+            fourier_enc_group=c.encoder_fourier_enc_group,
+            pseudo_image_norm=c.pseudo_image_norm,
+        )
+        self.backbone = SwinTransformer(
+            embed_dim=c.backbone_embed_dim,
+            depths=tuple(c.backbone_depths),
+            num_heads=tuple(c.backbone_num_heads),
+            window=c.backbone_window_size,
+            patch_size=c.backbone_patch_size,
+            mlp_ratio=c.backbone_mlp_ratio,
+            use_abs_pos_embed=c.backbone_use_abs_emb,
+            swap_dims=c.backbone_swap_dims,
+        )
+        self.pixel_decoder = PixelDecoder(
+            feat_channels=c.head_feat_channels,
+            out_channels=c.head_out_channels,
+            num_attn_layers=c.pixel_decoder_num_attn_layers,
+        )
+        self.decoder = Mask2FormerDecoder(
+            num_queries=c.num_queries,
+            num_classes=c.head_num_classes,
+            num_layers=c.head_num_decoder_layers,
+            feat_channels=c.head_feat_channels,
+            out_channels=c.head_out_channels,
+            num_heads=c.head_num_attn_heads,
+            ffn_dim=c.head_ffn_dim,
+            predict_height=c.predict_height,
+            num_height_bins=c.head_num_height_bins,
+        )
+
+    def __call__(self, points, point_mask, train: bool = True) -> DecoderOutputs:
+        x = self.encoder(points, point_mask, train=train)
+        feats = self.backbone(x, train=train)
+        mask_features, memories = self.pixel_decoder(feats, train=train)
+        return self.decoder(mask_features, memories, train=train)
+
+    # --- reference-parity phase API (mask_bev_module.py:180-187) ---
+    def forward_encode(self, points, point_mask, train: bool = False):
+        return self.encoder(points, point_mask, train=train)
+
+    def forward_backbone(self, pseudo_image, train: bool = False):
+        return self.backbone(pseudo_image, train=train)
+
+    def pred_masks(self, feats: Sequence[jax.Array], train: bool = False):
+        mask_features, memories = self.pixel_decoder(feats, train=train)
+        return self.decoder(mask_features, memories, train=train)

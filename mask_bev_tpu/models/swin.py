@@ -1,0 +1,250 @@
+"""Swin-Transformer BEV backbone (TPU-native flax implementation).
+
+Rebuilds the behavior of the reference's vendored ``CustomSwinTransformer``
+(reference ``models/networks/swin/swin.py:22-774`` and its config factory
+``models/backbones/mask_bev_backbone.py:41-64``): patch embed (conv k=s=patch),
+4 stages of window MSA with relative position bias + cyclic-shifted windows,
+patch merging between stages, per-stage output LayerNorms, rectangular grids,
+optional interpolated absolute position embedding, and the ``swap_dims``
+option. Defaults: depths (2,2,6,2), heads (3,6,12,24), mlp_ratio 4, window 10,
+drop_path 0 — reference ``mask_bev_backbone.py:41-64``.
+
+TPU-first notes: all shapes are static at trace time, so window padding,
+shift masks, and relative-position index tables are computed as compile-time
+constants; attention runs as batched (nW, w², C) matmuls on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _rel_pos_index(wh: int, ww: int) -> np.ndarray:
+    """Static (wh*ww, wh*ww) index into the (2wh-1)*(2ww-1) bias table."""
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # (N, N)
+
+
+def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
+    """Static additive mask (nW, w², w²) for shifted-window attention."""
+    img_mask = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img_mask[hs, ws] = cnt
+            cnt += 1
+    mw = img_mask.reshape(hp // window, window, wp // window, window)
+    mw = mw.transpose(0, 2, 1, 3).reshape(-1, window * window)
+    diff = mw[:, None, :] != mw[:, :, None]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+class WindowMSA(nn.Module):
+    """Multi-head self-attention within fixed windows + relative position bias.
+
+    Behavior of reference ``swin.py:22-124`` (qkv bias on, scaled dot product,
+    truncated-normal-initialized bias table).
+    """
+
+    dim: int
+    num_heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        # x: (B_, N, C) with N = window², B_ = B * nW
+        b_, n, c = x.shape
+        h = self.num_heads
+        head_dim = c // h
+        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = qkv.reshape(b_, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = jnp.einsum(
+            "bhnd,bhmd->bhnm", q * (head_dim**-0.5), k,
+            preferred_element_type=jnp.float32,
+        )
+
+        table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, h),
+        )
+        idx = _rel_pos_index(self.window, self.window)
+        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        if attn_mask is not None:  # (nW, N, N)
+            nw = attn_mask.shape[0]
+            attn = attn.reshape(b_ // nw, nw, h, n, n) + attn_mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b_, h, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        return nn.Dense(c, name="proj")(out)
+
+
+class ShiftWindowMSA(nn.Module):
+    """Pad to window multiples, (optionally) cyclic-shift, window-partition,
+    attend, reverse. Reference ``swin.py:127-284``."""
+
+    dim: int
+    num_heads: int
+    window: int
+    shift: int = 0
+
+    @nn.compact
+    def __call__(self, x, hw: Tuple[int, int]):
+        h, w = hw
+        b, _, c = x.shape
+        win = self.window
+        x = x.reshape(b, h, w, c)
+        hp = int(np.ceil(h / win)) * win
+        wp = int(np.ceil(w / win)) * win
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+
+        shift = self.shift
+        if min(hp, wp) == win:
+            shift = 0  # window covers the grid; no shift needed (ref :180-184)
+        if shift > 0:
+            x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_attn_mask(hp, wp, win, shift))
+        else:
+            mask = None
+
+        nw_h, nw_w = hp // win, wp // win
+        xw = x.reshape(b, nw_h, win, nw_w, win, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * nw_h * nw_w, win * win, c)
+        xw = WindowMSA(self.dim, self.num_heads, win, name="w_msa")(xw, mask)
+        x = xw.reshape(b, nw_h, nw_w, win, win, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hp, wp, c)
+
+        if shift > 0:
+            x = jnp.roll(x, (shift, shift), axis=(1, 2))
+        x = x[:, :h, :w]
+        return x.reshape(b, h * w, c)
+
+
+class SwinBlock(nn.Module):
+    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual (ref swin.py:287-374)."""
+
+    dim: int
+    num_heads: int
+    window: int
+    shift: bool
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x, hw):
+        shortcut = x
+        y = nn.LayerNorm(name="norm1")(x)
+        y = ShiftWindowMSA(
+            self.dim, self.num_heads, self.window,
+            shift=self.window // 2 if self.shift else 0, name="attn",
+        )(y, hw)
+        x = shortcut + y
+        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.Dense(self.dim * self.mlp_ratio, name="ffn_1")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="ffn_2")(y)
+        return x + y
+
+
+class PatchMerging(nn.Module):
+    """2x2 patch concat -> LN -> Linear(4C -> 2C, no bias). Ref: mmdet PatchMerging."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x, hw):
+        h, w = hw
+        b, _, c = x.shape
+        x = x.reshape(b, h, w, c)
+        hp, wp = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        # sampling order matches torch unfold: (x0 x1 / x2 x3) -> [x0, x2, x1, x3]
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+        x = x.reshape(b, (hp // 2) * (wp // 2), 4 * c)
+        x = nn.LayerNorm(name="norm")(x)
+        x = nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
+        return x, (hp // 2, wp // 2)
+
+
+class SwinTransformer(nn.Module):
+    """BEV pseudo-image (B, C, H, W) -> 4-scale pyramid [(B, Ci, Hi, Wi)].
+
+    out dims = embed_dim * (1, 2, 4, 8) at strides patch*(1, 2, 4, 8).
+    """
+
+    embed_dim: int = 192
+    depths: Sequence[int] = (2, 2, 6, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    window: int = 10
+    patch_size: int = 4
+    mlp_ratio: int = 4
+    use_abs_pos_embed: bool = False
+    abs_pos_grid: Optional[Tuple[int, int]] = None  # pretrain grid; None = runtime grid
+    swap_dims: bool = False
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        b, c, h, w = x.shape
+        p = self.patch_size
+        x = jnp.transpose(x, (0, 2, 3, 1))  # NHWC for conv
+        # pad to patch multiple (mmdet PatchEmbed 'corner' padding)
+        hp = int(np.ceil(h / p)) * p
+        wp = int(np.ceil(w / p)) * p
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), name="patch_embed")(x)
+        gh, gw = hp // p, wp // p
+        x = x.reshape(b, gh * gw, self.embed_dim)
+        x = nn.LayerNorm(name="patch_norm")(x)
+
+        if self.use_abs_pos_embed:
+            pg = self.abs_pos_grid or (gh, gw)
+            ape = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (pg[0], pg[1], self.embed_dim),
+            )
+            if self.swap_dims:
+                ape = jnp.transpose(ape, (1, 0, 2))  # ref swin.py swap_dims fix
+            if ape.shape[:2] != (gh, gw):
+                ape = jax.image.resize(ape, (gh, gw, self.embed_dim), "bicubic")
+            x = x + ape.reshape(1, gh * gw, self.embed_dim).astype(x.dtype)
+
+        outs = []
+        hw = (gh, gw)
+        dim = self.embed_dim
+        for i, depth in enumerate(self.depths):
+            for d in range(depth):
+                x = SwinBlock(
+                    dim, self.num_heads[i], self.window,
+                    shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
+                    name=f"stage{i}_block{d}",
+                )(x, hw)
+            if i in self.out_indices:
+                y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                y = y.reshape(b, hw[0], hw[1], dim)
+                outs.append(jnp.transpose(y, (0, 3, 1, 2)))  # (B, C, H, W)
+            if i < len(self.depths) - 1:
+                x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)
+                dim *= 2
+        return outs

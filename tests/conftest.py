@@ -1,6 +1,10 @@
-"""Test config: run everything on a virtual 8-device CPU mesh.
+"""Test config: expose a virtual 8-device CPU mesh for sharding tests.
 
 Must set env before the first jax import (hence module scope in conftest).
+Note: in environments where a TPU plugin is force-registered at interpreter
+start (sitecustomize), JAX_PLATFORMS=cpu cannot demote it — single-device
+tests then run on the default backend, while multi-device tests explicitly
+request ``jax.devices("cpu")`` (8 virtual devices via the XLA flag below).
 """
 import os
 
