@@ -51,34 +51,51 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
 
+    # params passed as explicit jit ARGUMENTS (not closure constants):
+    # closed-over arrays are embedded as HLO constants, which defeats
+    # device-resident reuse on remote-attached TPUs.
     @jax.jit
-    def fwd(pts, mask):
-        out = model.apply(variables, pts.astype(jnp.bfloat16), mask,
-                          train=False)
+    def fwd(v, pts, mask):
+        out = model.apply(v, pts.astype(jnp.bfloat16), mask, train=False)
         return out.cls_logits[-1], out.mask_logits[-1]
 
-    dp = jnp.asarray(pts)
-    dm = jnp.asarray(mask)
+    # NB: on remote-attached TPUs block_until_ready is not a reliable
+    # barrier. Executions on one device run in submission order, so the
+    # honest timing is: enqueue K steps, then force ONE data-dependent
+    # scalar read of the LAST output (a float() D2H cannot complete before
+    # every prior step has) — one ~30ms relay round-trip amortized over K.
+    def sync(out):
+        return float(out[0].astype(jnp.float32).sum())
+
+    # rotate distinct pre-staged inputs so no call can be deduplicated
+    staged = []
+    for s in range(4):
+        r = np.random.default_rng(100 + s)
+        p = pts + r.normal(0, 0.01, pts.shape).astype(np.float32)
+        staged.append((jnp.asarray(p), jnp.asarray(mask)))
+
     t0 = time.time()
-    jax.block_until_ready(fwd(dp, dm))
+    sync(fwd(variables, *staged[0]))
     compile_s = time.time() - t0
 
-    # warmup + steady state
-    for _ in range(3):
-        jax.block_until_ready(fwd(dp, dm))
-    iters = 20
+    # warmup
+    for s in staged:
+        out = fwd(variables, *s)
+    sync(out)
+
+    iters = 30
     t0 = time.time()
-    for _ in range(iters):
-        out = fwd(dp, dm)
-    jax.block_until_ready(out)
+    for i in range(iters):
+        out = fwd(variables, *staged[i % 4])
+    sync(out)
     dt = (time.time() - t0) / iters
     scans_per_sec = batch / dt
 
-    # p50 single-batch latency
+    # p50 single-batch latency (synced per call; includes one relay RTT)
     lat = []
-    for _ in range(10):
+    for i in range(8):
         t0 = time.time()
-        jax.block_until_ready(fwd(dp, dm))
+        sync(fwd(variables, *staged[i % 4]))
         lat.append(time.time() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 

@@ -88,12 +88,22 @@ class KittiRasterizer:
         if self.remove_unseen and frame.points is not None:
             counts = points_in_boxes_count(frame.points, boxes)
             in_range &= counts >= self.min_points
+        from mask_bev_tpu import native
+
+        # sequential fill: later instances overwrite overlap (ref :56-57);
+        # instance id = position in the car-like list + 1
+        if native.available():
+            img = native.fill_rotated_boxes_img(
+                self.num_voxel_y, self.num_voxel_x,
+                boxes.center[:, :2], boxes.dims[:, :2], boxes.yaw,
+                in_range.astype(np.uint8),
+                self.x_range[0], self.y_range[0], self.voxel_size)
+            out[KittiType.Car] = img
+            return out
         foot = fill_rotated_boxes(
             boxes.center[:, :2], boxes.dims[:, :2], boxes.yaw,
             self.x_range, self.y_range, self.voxel_size)
         img = out[KittiType.Car]
-        # sequential fill: later instances overwrite overlap (ref :56-57);
-        # instance id = position in the car-like list + 1
         for i in range(len(boxes)):
             if in_range[i]:
                 img[foot[i]] = i + 1

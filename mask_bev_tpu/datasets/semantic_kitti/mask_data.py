@@ -240,4 +240,22 @@ class SemanticKittiMaskDataModule:
         return self._epoch("valid", False, seed)
 
     def test_batches(self, seed: int = 0) -> Iterator[Dict]:
-        return self._epoch("test", False, seed)
+        """Test split has no labels: yields points-only batches (the
+        reference's test dataloader likewise emits bare point clouds,
+        ``semantic_kitti_mask_data_module.py:75``)."""
+        from mask_bev_tpu.datasets.semantic_kitti.dataset import (
+            SemanticKittiDataset)
+
+        ds = SemanticKittiDataset(self.root, "test")
+        c = self.cfg
+        b = c.batch_size
+        n = c.max_points_per_scan
+        for start in range(0, len(ds) - b + 1, b):
+            pts = np.zeros((b, n, c.pc_point_dim), np.float32)
+            pmask = np.zeros((b, n), bool)
+            for j in range(b):
+                pc = ds[start + j].point_cloud
+                take = min(pc.shape[0], n)
+                pts[j, :take] = pc[:take, : c.pc_point_dim]
+                pmask[j, :take] = True
+            yield {"points": pts, "point_mask": pmask}

@@ -21,7 +21,8 @@ import numpy as np
 
 from mask_bev_tpu.datasets.semantic_kitti.dataset import SemanticKittiScan
 from mask_bev_tpu.datasets.semantic_kitti.scene import SemanticKittiScene
-from mask_bev_tpu.ops.morphology import close_then_open
+# native C++ morphology when built (make -C native), numpy fallback inside
+from mask_bev_tpu.native import close_then_open
 
 
 class SemanticKittiRasterizer:

@@ -41,13 +41,15 @@ class MaskBevPredictor:
         self.variables = variables
         self.background_class = background_class
 
+        # params as explicit args (closure arrays become HLO constants,
+        # which blocks device-resident reuse on remote-attached TPUs)
         @jax.jit
-        def _fwd(points, mask):
-            out = self.model.apply(variables, points, mask, train=False)
+        def _fwd(v, points, mask):
+            out = self.model.apply(v, points, mask, train=False)
             return (jax.nn.softmax(out.cls_logits[-1], axis=-1),
                     jax.nn.sigmoid(out.mask_logits[-1]))
 
-        self._fwd = _fwd
+        self._fwd = lambda points, mask: _fwd(self.variables, points, mask)
 
     @classmethod
     def from_checkpoint(cls, cfg: MaskBevConfig, ckpt_dir: str,

@@ -159,58 +159,64 @@ class PillarFeatureNet(nn.Module):
 
 
 def scatter_to_canvas(pillar_feats, coords, valid, grid_hw):
-    """(B, P, C) + (B, P, 2[yx]) -> (B, C, H, W) BEV pseudo-image.
+    """(B, P, C) + (B, P, 2[yx]) -> (B, H, W, C) BEV pseudo-image (NHWC).
 
     Equivalent of mmdet3d PointPillarsScatter (reference
-    ``mask_bev_encoders.py:91``): canvas[:, iy, ix] = feature. Invalid
-    pillars carry coords (-1, -1), dropped by scatter mode='drop'.
+    ``mask_bev_encoders.py:91``), restructured for TPU: instead of scattering
+    P C-vector rows into the canvas (slow sequential scatter), scatter P
+    *scalar* slot ids into a (H*W,) index map, then GATHER each canvas cell's
+    feature row — gathers vectorize onto the VPU. Invalid pillars index a
+    zero row appended at position P.
     """
     h, w = grid_hw
     b, p, c = pillar_feats.shape
-    feats = jnp.where(valid[..., None], pillar_feats, 0.0)
-    iy = jnp.where(valid, coords[..., 0], h)  # h/w out of bounds -> dropped
-    ix = jnp.where(valid, coords[..., 1], w)
+    cell = jnp.where(valid, coords[..., 0] * w + coords[..., 1], h * w)
 
-    def one(f, yy, xx):
-        canvas = jnp.zeros((h, w, c), f.dtype)
-        canvas = canvas.at[yy, xx].set(f, mode="drop")
-        return canvas
+    def one(f, cells):
+        # scatter only P scalar slot-ids (cheap: HBM scatter cost scales
+        # with update-row count), then build the canvas with a row GATHER
+        # (fast). jnp.searchsorted is avoided — measured 10-40x slower
+        # than this scatter+gather on TPU for dense queries.
+        idxmap = jnp.full((h * w + 1,), p, jnp.int32)
+        idxmap = idxmap.at[cells].set(
+            jnp.arange(p, dtype=jnp.int32), mode="drop")[: h * w]
+        padded = jnp.concatenate([f, jnp.zeros((1, c), f.dtype)])
+        return padded[idxmap].reshape(h, w, c)
 
-    canvas = jax.vmap(one)(feats, iy, ix)  # (B, H, W, C)
-    return jnp.transpose(canvas, (0, 3, 1, 2))
+    return jax.vmap(one)(pillar_feats, cell)  # (B, H, W, C)
 
 
 class PseudoImageNorm(nn.Module):
-    """LayerNorm over the pseudo-image.
+    """LayerNorm over the pseudo-image (NHWC).
 
     mode='full' matches the reference exactly: ``nn.LayerNorm([C, H, W],
     eps=1e-3)`` normalizes each sample over all C*H*W elements with a full
-    (C, H, W) affine (reference ``mask_bev_encoders.py:75,92``). mode
-    ='channel' is a cheaper per-channel affine alternative (2C params instead
-    of 2CHW) normalizing over the same reduction axes.
+    per-element affine (reference ``mask_bev_encoders.py:75,92``; stored
+    here as (H, W, C)). mode='channel' is a cheaper per-channel affine
+    alternative (2C params instead of 2CHW) over the same reduction axes.
     """
 
     mode: str = "full"
     eps: float = 1e-3
 
     @nn.compact
-    def __call__(self, x):  # (B, C, H, W)
-        _, c, h, w = x.shape
+    def __call__(self, x):  # (B, H, W, C)
+        _, h, w, c = x.shape
         xf = x.astype(jnp.float32)  # stats in f32 even under bf16 inference
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
         y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.mode == "full":
-            scale = self.param("scale", nn.initializers.ones, (c, h, w))
-            bias = self.param("bias", nn.initializers.zeros, (c, h, w))
+            scale = self.param("scale", nn.initializers.ones, (h, w, c))
+            bias = self.param("bias", nn.initializers.zeros, (h, w, c))
         else:
-            scale = self.param("scale", nn.initializers.ones, (c, 1, 1))
-            bias = self.param("bias", nn.initializers.zeros, (c, 1, 1))
+            scale = self.param("scale", nn.initializers.ones, (1, 1, c))
+            bias = self.param("bias", nn.initializers.zeros, (1, 1, c))
         return y * scale[None] + bias[None]
 
 
 class MaskBevEncoder(nn.Module):
-    """points (B, N, D) + mask -> pseudo-image (B, C, H, W).
+    """points (B, N, D) + mask -> pseudo-image (B, H, W, C) [NHWC].
 
     Full TPU equivalent of the reference ``MaskBevEncoder``
     (``mask_bev_encoders.py:21-123``): range filtering happens inside
@@ -238,6 +244,7 @@ class MaskBevEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, points, point_mask, train: bool = True):
+        """points (B, N, D) + mask -> pseudo-image (B, H, W, C) [NHWC]."""
         pb = pillarize_batch(
             points,
             point_mask,

@@ -88,7 +88,7 @@ class MaskHeads(nn.Module):
 
     @nn.compact
     def __call__(self, query, mask_features):
-        # query: (B, Q, C); mask_features: (B, Cout, H, W)
+        # query: (B, Q, C); mask_features: (B, H, W, Cout) [NHWC]
         x = nn.LayerNorm(name="decoder_norm")(query)
         cls_logits = nn.Dense(self.num_classes + 1, name="cls_embed")(x)
         y = nn.Dense(self.feat_channels, name="mask_mlp1")(x)
@@ -97,7 +97,7 @@ class MaskHeads(nn.Module):
         y = nn.relu(y)
         mask_embed = nn.Dense(self.out_channels, name="mask_mlp3")(y)
         mask_logits = jnp.einsum(
-            "bqc,bchw->bqhw", mask_embed, mask_features,
+            "bqc,bhwc->bqhw", mask_embed, mask_features,
             preferred_element_type=jnp.float32,
         ).astype(query.dtype)
         height_logits = None
@@ -150,12 +150,12 @@ class Mask2FormerDecoder(nn.Module):
         level_embed = self.param(
             "level_embed", nn.initializers.normal(1.0), (nl, c))
 
-        # flatten memories + precompute static sine PEs
+        # flatten NHWC memories + precompute static sine PEs
         mems, pes, hws = [], [], []
         for i, mem in enumerate(memories):
-            _, mc, hl, wl = mem.shape
+            _, hl, wl, mc = mem.shape
             hws.append((hl, wl))
-            flat = jnp.transpose(mem.reshape(b, mc, hl * wl), (0, 2, 1))
+            flat = mem.reshape(b, hl * wl, mc)
             mems.append(flat + level_embed[i][None, None])
             pes.append(
                 sine_positional_encoding_2d(hl, wl, num_feats=c // 2)

@@ -36,13 +36,11 @@ class PixelDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], train: bool = True):
-        # feats: [/4, /8, /16, /32], each (B, Ci, Hi, Wi)
+        # feats: [/4, /8, /16, /32], each (B, Hi, Wi, Ci) [NHWC]
         assert len(feats) == 4
         c = self.feat_channels
-        # NHWC throughout for conv friendliness
-        xs = [jnp.transpose(f, (0, 2, 3, 1)) for f in feats]
         laterals = []
-        for i, x in enumerate(xs):
+        for i, x in enumerate(feats):
             y = nn.Conv(c, (1, 1), name=f"lateral{i}")(x)
             y = nn.GroupNorm(num_groups=32, name=f"lateral_gn{i}")(y)
             laterals.append(y)
@@ -78,9 +76,9 @@ class PixelDecoder(nn.Module):
             y = nn.relu(y)
             outs.append(y)
 
+        # mask_features (B, H/4, W/4, C); memories coarse->fine /32, /16, /8
+        # (mmdet decoder cycles levels i%3 starting at /32; reference
+        # mask2former_head.py:500-556). All NHWC.
         mask_features = nn.Conv(self.out_channels, (3, 3), name="mask_feature")(outs[0])
-        mask_features = jnp.transpose(mask_features, (0, 3, 1, 2))  # (B, C, H/4, W/4)
-        # memories: coarse->fine order /32, /16, /8 (mmdet decoder cycles
-        # levels i%3 starting at /32; reference mask2former_head.py:500-556)
-        memories = [jnp.transpose(outs[i], (0, 3, 1, 2)) for i in (3, 2, 1)]
+        memories = [outs[i] for i in (3, 2, 1)]
         return mask_features, memories

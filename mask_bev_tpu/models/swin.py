@@ -187,8 +187,10 @@ class PatchMerging(nn.Module):
 
 
 class SwinTransformer(nn.Module):
-    """BEV pseudo-image (B, C, H, W) -> 4-scale pyramid [(B, Ci, Hi, Wi)].
+    """BEV pseudo-image (B, H, W, C) -> 4-scale pyramid [(B, Hi, Wi, Ci)].
 
+    NHWC end-to-end (TPU conv/layout-friendly; the encoder produces NHWC and
+    the pixel decoder consumes it — no layout transposes anywhere).
     out dims = embed_dim * (1, 2, 4, 8) at strides patch*(1, 2, 4, 8).
     """
 
@@ -205,9 +207,8 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        b, c, h, w = x.shape
+        b, h, w, c = x.shape
         p = self.patch_size
-        x = jnp.transpose(x, (0, 2, 3, 1))  # NHWC for conv
         # pad to patch multiple (mmdet PatchEmbed 'corner' padding)
         hp = int(np.ceil(h / p)) * p
         wp = int(np.ceil(w / p)) * p
@@ -242,8 +243,7 @@ class SwinTransformer(nn.Module):
                 )(x, hw)
             if i in self.out_indices:
                 y = nn.LayerNorm(name=f"out_norm{i}")(x)
-                y = y.reshape(b, hw[0], hw[1], dim)
-                outs.append(jnp.transpose(y, (0, 3, 1, 2)))  # (B, C, H, W)
+                outs.append(y.reshape(b, hw[0], hw[1], dim))  # (B, H, W, C)
             if i < len(self.depths) - 1:
                 x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)
                 dim *= 2

@@ -85,37 +85,58 @@ def pillarize(
     # Stable sort keeps original input order within each pillar, so the
     # K-point truncation below keeps the FIRST K points of each pillar —
     # identical to the reference's deterministic hard voxelizer.
+    #
+    # TPU cost model (measured on v5e, batch 8 x 131k points): sorts ~5ms,
+    # vmapped dynamic_slice ~29ms, row gathers ~10ns/row, HBM scatters
+    # ~3M update-rows/s (46ms per 131k-row scatter), jnp.searchsorted with
+    # dense queries catastrophic (40-240ms). The construction below is
+    # therefore: two argsorts + dynamic slices + tiny gathers — no
+    # scatters, no searchsorted.
+    arange_n = jnp.arange(n, dtype=jnp.int32)
     order = jnp.argsort(pid, stable=True)
     pid_s = pid[order]
+    pts_s = points[order]
 
-    arange = jnp.arange(n, dtype=jnp.int32)
     is_first = jnp.concatenate([jnp.ones((1,), bool), pid_s[1:] != pid_s[:-1]])
-    # slot: compacted pillar index in ascending-cell order
-    slot = jnp.cumsum(is_first.astype(jnp.int32)) - 1
-    # rank within pillar = position - position of segment start
-    seg_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_first, arange, -1))
-    rank = arange - seg_start
+    is_first &= pid_s < sentinel
+    num_segments = is_first.sum()
 
-    keep = (pid_s < sentinel) & (rank < k) & (slot < p)
-    dest_slot = jnp.where(keep, slot, p)  # P = drop row (mode='drop')
-    dest_rank = jnp.where(keep, rank, 0)
+    # start position of pillar slot s = position of the s-th True in
+    # is_first: one more (cheap) sort replaces a (slow) searchsorted
+    start_keys = jnp.where(is_first, arange_n, n)
+    starts_all = jnp.sort(start_keys)  # ascending: real starts first
+    if n >= p:
+        starts = starts_all[:p]
+    else:  # fewer points than pillar slots
+        starts = jnp.concatenate(
+            [starts_all, jnp.full((p - n,), n, jnp.int32)])
+    pillar_valid = jnp.arange(p) < jnp.minimum(num_segments, p)
 
-    feats = jnp.zeros((p, k, points.shape[1]), points.dtype)
-    feats = feats.at[dest_slot, dest_rank].set(points[order], mode="drop")
+    num_valid_pts = jnp.sum(pid < sentinel)  # in-range point count
+    ends = jnp.concatenate([starts[1:], starts[-1:]])
+    ends = jnp.where(jnp.arange(p) == p - 1, num_valid_pts, ends)
+    ends = jnp.minimum(jnp.where(pillar_valid, ends, starts), num_valid_pts)
+    counts = jnp.maximum(ends - starts, 0)
+    num_points = jnp.minimum(counts, k).astype(jnp.int32)
 
-    num_points = jnp.zeros((p,), jnp.int32).at[dest_slot].add(
-        keep.astype(jnp.int32), mode="drop"
-    )
-    cell = jnp.full((p,), -1, jnp.int32).at[dest_slot].max(
-        jnp.where(keep, pid_s, -1), mode="drop"
-    )
-    pillar_valid = num_points > 0
+    # (P, K, D) via contiguous dynamic slices from the (zero-padded) sorted
+    # sequence; padding keeps near-the-end windows aligned without shifting
+    d = points.shape[1]
+    pts_pad = jnp.concatenate([pts_s, jnp.zeros((k, d), pts_s.dtype)])
+    safe_starts = jnp.where(pillar_valid, starts, 0)
+    feats = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(pts_pad, (s, jnp.int32(0)), (k, d))
+    )(safe_starts)
+    point_ok = jnp.arange(k, dtype=jnp.int32)[None, :] < num_points[:, None]
+    feats = jnp.where(point_ok[..., None], feats, 0).astype(points.dtype)
+
+    cell = jnp.where(pillar_valid, pid_s[jnp.clip(starts, 0, n - 1)], -1)
     coords = jnp.where(
         pillar_valid[:, None],
         jnp.stack([cell // grid_w, cell % grid_w], axis=-1),
         -1,
     ).astype(jnp.int32)
-    return PillarBatch(feats, num_points, coords, pillar_valid)
+    return PillarBatch(feats, num_points, coords, pillar_valid & (counts > 0))
 
 
 def pillarize_batch(

@@ -24,6 +24,7 @@ from mask_bev_tpu.train.metrics import LayerMetrics, update_layer_metrics
 from mask_bev_tpu.train.optim import PlateauState, set_lr_scale
 from mask_bev_tpu.train.step import (
     create_train_state, make_eval_step, make_train_step)
+from mask_bev_tpu.utils.prefetch import prefetch
 
 
 class MetricLogger:
@@ -82,7 +83,7 @@ class Trainer:
     def train_epoch(self, batches: Iterator[Dict], rng: jax.Array) -> float:
         losses = []
         t0 = time.time()
-        for i, batch in enumerate(batches):
+        for i, batch in enumerate(prefetch(batches)):
             if (self.cfg.limit_train_batches is not None
                     and i >= self.cfg.limit_train_batches):
                 break

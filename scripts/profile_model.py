@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Honest per-stage profiling of the flagship model on the attached TPU.
+
+Timing methodology for remote-attached TPUs (documented in
+docs/ARCHITECTURE.md): ``block_until_ready`` is not a reliable barrier
+through the relay, so each measurement enqueues K steps over rotating
+pre-staged inputs and forces ONE data-dependent scalar read of the last
+output — device-stream ordering makes that a barrier for all K, and the
+~30ms relay round-trip amortizes away.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=15)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mask_bev_tpu.config import semantic_kitti_default
+    from mask_bev_tpu.models.maskbev import MaskBev
+
+    B = args.batch
+    cfg = semantic_kitti_default().replace(
+        max_points_per_scan=131072, max_num_pillars=32768)
+    model = MaskBev(cfg)
+    n = cfg.max_points_per_scan
+    r0 = np.random.default_rng(0)
+    pts = r0.uniform(-40, 40, (B, n, 4)).astype(np.float32)
+    mask = np.ones((B, n), bool)
+    mask[:, 120_000:] = False
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts[:1]),
+                           jnp.asarray(mask[:1]), train=False)
+    variables = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+
+    enc = jax.jit(lambda v, p, m: model.apply(
+        v, p.astype(jnp.bfloat16), m, train=False,
+        method=MaskBev.forward_encode))
+    bck = jax.jit(lambda v, x: model.apply(
+        v, x, train=False, method=MaskBev.forward_backbone))
+    hed = jax.jit(lambda v, f: model.apply(
+        v, f, train=False, method=MaskBev.pred_masks))
+
+    staged = [jnp.asarray(pts + np.random.default_rng(10 + s).normal(
+        0, 0.01, pts.shape).astype(np.float32)) for s in range(3)]
+    dm = jnp.asarray(mask)
+
+    def leaf_sum(o):
+        return float(jax.tree.leaves(o)[0].astype(jnp.float32).sum())
+
+    xs = [enc(variables, s, dm) for s in staged]
+    fs = [bck(variables, x) for x in xs]
+    leaf_sum(hed(variables, fs[0]))
+
+    def t(name, f, args_list):
+        o = f(*args_list[0])
+        leaf_sum(o)
+        t0 = time.time()
+        for i in range(args.iters):
+            o = f(*args_list[i % len(args_list)])
+        leaf_sum(o)
+        ms = (time.time() - t0) / args.iters * 1e3
+        print(f"{name:10s} {ms:8.2f} ms/batch{B}  ({ms / B:.2f} ms/scan)")
+
+    t("encoder", enc, [(variables, s, dm) for s in staged])
+    t("backbone", bck, [(variables, x) for x in xs])
+    t("head", hed, [(variables, f) for f in fs])
+
+
+if __name__ == "__main__":
+    main()

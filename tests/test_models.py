@@ -19,33 +19,34 @@ from mask_bev_tpu.models.maskbev import MaskBev
 
 def test_swin_rectangular_pyramid():
     # reference kitti backbone test: 140x160 input -> [35,18,9,5]x[40,20,10,5]
+    # (NHWC layout end-to-end)
     m = SwinTransformer(embed_dim=24, depths=(1, 1, 1, 1), num_heads=(2, 2, 2, 2),
                         window=5)
-    x = jnp.zeros((1, 8, 140, 160))
+    x = jnp.zeros((1, 140, 160, 8))
     params = m.init(jax.random.PRNGKey(0), x, train=False)
     outs = m.apply(params, x, train=False)
     shapes = [o.shape for o in outs]
     assert shapes == [
-        (1, 24, 35, 40), (1, 48, 18, 20), (1, 96, 9, 10), (1, 192, 5, 5)]
+        (1, 35, 40, 24), (1, 18, 20, 48), (1, 9, 10, 96), (1, 5, 5, 192)]
 
 
 def test_pixel_decoder_contract():
     pd = PixelDecoder(feat_channels=64, out_channels=64)
-    feats = [jnp.zeros((2, 48, 20, 20)), jnp.zeros((2, 96, 10, 10)),
-             jnp.zeros((2, 192, 5, 5)), jnp.zeros((2, 384, 3, 3))]
+    feats = [jnp.zeros((2, 20, 20, 48)), jnp.zeros((2, 10, 10, 96)),
+             jnp.zeros((2, 5, 5, 192)), jnp.zeros((2, 3, 3, 384))]
     params = pd.init(jax.random.PRNGKey(0), feats)
     mask_features, memories = pd.apply(params, feats)
-    assert mask_features.shape == (2, 64, 20, 20)
+    assert mask_features.shape == (2, 20, 20, 64)
     assert [m.shape for m in memories] == [
-        (2, 64, 3, 3), (2, 64, 5, 5), (2, 64, 10, 10)]
+        (2, 3, 3, 64), (2, 5, 5, 64), (2, 10, 10, 64)]
 
 
 def test_decoder_outputs_stacked():
     dec = Mask2FormerDecoder(num_queries=8, num_classes=1, num_layers=3,
                              feat_channels=64, out_channels=64, ffn_dim=128)
-    mask_features = jnp.zeros((2, 64, 20, 20))
-    memories = [jnp.zeros((2, 64, 3, 3)), jnp.zeros((2, 64, 5, 5)),
-                jnp.zeros((2, 64, 10, 10))]
+    mask_features = jnp.zeros((2, 20, 20, 64))
+    memories = [jnp.zeros((2, 3, 3, 64)), jnp.zeros((2, 5, 5, 64)),
+                jnp.zeros((2, 10, 10, 64))]
     params = dec.init(jax.random.PRNGKey(0), mask_features, memories)
     out = dec.apply(params, mask_features, memories)
     assert out.cls_logits.shape == (4, 2, 8, 2)  # L+1, B, Q, K+1

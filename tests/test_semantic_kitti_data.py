@@ -64,6 +64,8 @@ def sk_root(tmp_path):
     for seq in (0, 8):  # train seq 0, valid seq 8
         _write_sequence(tmp_path / "dataset" / "sequences" / f"{seq:02d}",
                         N_SCANS, rng)
+    _write_sequence(tmp_path / "dataset" / "sequences" / "11",
+                    N_SCANS, rng, with_labels=False)  # test split
     return tmp_path
 
 
@@ -168,6 +170,18 @@ def test_filter_small_masks():
     m[5:9, 5:9] = 2
     out = filter_small_masks(m.copy(), min_pixels=5)
     assert set(np.unique(out)) == {0, 2}
+
+
+def test_test_split_points_only(sk_root):
+    cfg = MaskBevConfig(
+        dataset="semantic_kitti", x_range=(-40, 40), y_range=(-40, 40),
+        z_range=(-10, 10), voxel_size=0.16, num_queries=5,
+        max_points_per_scan=2048, batch_size=2)
+    dm = SemanticKittiMaskDataModule(str(sk_root), cfg)
+    batch = next(iter(dm.test_batches()))
+    assert set(batch) == {"points", "point_mask"}
+    assert batch["points"].shape == (2, 2048, 4)
+    assert batch["point_mask"].any()
 
 
 def test_datamodule_batch_contract(sk_root):
