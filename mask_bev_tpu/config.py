@@ -66,6 +66,7 @@ class MaskBevConfig:
     backbone_swap_dims: bool = False
     backbone_drop_path_rate: float = 0.0
     backbone_mlp_ratio: int = 4
+    backbone_frozen_stages: int = -1  # freeze patch embed + stages <= this
 
     # Head (reference mask_bev_panoptic_head.py:98-215)
     head_feat_channels: int = 256

@@ -49,6 +49,32 @@ def lr_schedule(cfg: MaskBevConfig, steps_per_epoch: int = 1000):
     return cfg.lr
 
 
+def frozen_mask_fn(cfg: MaskBevConfig):
+    """Zero-out gradients of frozen backbone stages (reference
+    ``swin.py:652-672`` frozen_stages semantics: patch embed + stages <= k)."""
+    k = cfg.backbone_frozen_stages
+
+    def is_frozen(path) -> bool:
+        keys = [getattr(p, "key", "") for p in path]
+        if "backbone" not in keys:
+            return False
+        for name in keys:
+            if name in ("patch_embed", "patch_norm", "absolute_pos_embed"):
+                return k >= 0
+            if name.startswith("stage") and "_block" in name:
+                return int(name[5 : name.index("_")]) <= k
+            if name.startswith("merge"):
+                return int(name[5:]) <= k
+        return False
+
+    def label(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: "frozen" if is_frozen(path) else "trainable",
+            params)
+
+    return label
+
+
 def make_optimizer(cfg: MaskBevConfig, params=None,
                    steps_per_epoch: int = 1000) -> optax.GradientTransformation:
     sched = lr_schedule(cfg, steps_per_epoch)
@@ -79,6 +105,10 @@ def make_optimizer(cfg: MaskBevConfig, params=None,
             tx = scaled(1.0)
         if cfg.grad_clip_norm > 0:
             tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+        if cfg.backbone_frozen_stages >= 0:
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()},
+                frozen_mask_fn(cfg))
         return tx
 
     return build(lr_scale=1.0)
