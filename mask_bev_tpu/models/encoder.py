@@ -200,12 +200,21 @@ class PseudoImageNorm(nn.Module):
     eps: float = 1e-3
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, stats=None):  # x: (B, H, W, C)
         _, h, w, c = x.shape
-        xf = x.astype(jnp.float32)  # stats in f32 even under bf16 inference
-        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
-        y = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        if stats is None:
+            xf = x.astype(jnp.float32)  # stats in f32 even under bf16
+            mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+            var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        else:
+            # precomputed per-sample (mean, var) — the encoder derives them
+            # from the (P, C) pillar table (the canvas is pooled features +
+            # zeros), avoiding two full-canvas passes
+            mean, var = stats
+            mean = mean.reshape(-1, 1, 1, 1)
+            var = var.reshape(-1, 1, 1, 1)
+        y = ((x.astype(jnp.float32) - mean)
+             * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         if self.mode == "full":
             scale = self.param("scale", nn.initializers.ones, (h, w, c))
             bias = self.param("bias", nn.initializers.zeros, (h, w, c))
@@ -266,5 +275,15 @@ class MaskBevEncoder(nn.Module):
             fourier_enc_group=self.fourier_enc_group,
             name="pillar_feature_net",
         )(pb, train=train)
+        # LayerNorm stats computed on the (P, C) pillar table: canvas cells
+        # are pooled features or exact zeros, so Σ and Σ² over the canvas
+        # equal those over valid pillars — two full-canvas passes saved.
+        h, w = self.grid_hw
+        c = pf.shape[-1]
+        pf32 = jnp.where(pb.valid[..., None], pf.astype(jnp.float32), 0.0)
+        elems = jnp.float32(h * w * c)
+        mean = pf32.sum(axis=(1, 2)) / elems  # (B,)
+        var = jnp.square(pf32).sum(axis=(1, 2)) / elems - jnp.square(mean)
         canvas = scatter_to_canvas(pf, pb.coords, pb.valid, self.grid_hw)
-        return PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")(canvas)
+        return PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")(
+            canvas, stats=(mean, var))
