@@ -23,7 +23,9 @@ def main():
     from mask_bev_tpu.config import semantic_kitti_default
     from mask_bev_tpu.models.maskbev import MaskBev
 
-    batch = 8
+    import os
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
     cfg = semantic_kitti_default().replace(
         max_points_per_scan=131072,
         max_num_pillars=32768,
