@@ -20,8 +20,27 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mask_bev_tpu.ops.voxelize import PillarBatch, pillarize_batch
+from mask_bev_tpu.ops.stream_pillars import (
+    StreamPillars, gather_at_starts, pillarize_stream_batch,
+    windowed_segment_max, windowed_segment_sum)
 from mask_bev_tpu.models.positional import LearnableFourierPositionalEncoding
+
+
+class DenseNoBias(nn.Module):
+    """Bias-free linear with setup-time params (same tree as nn.Dense:
+    ``kernel``), so fused kernels can read the weights without tracing the
+    layer."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features))
+
+    def __call__(self, x):
+        return x @ self.kernel
 
 
 class MaskedBatchNorm(nn.Module):
@@ -30,27 +49,32 @@ class MaskedBatchNorm(nn.Module):
     Matches the reference's ``nn.BatchNorm1d(C, eps=1e-3, momentum=0.01)``
     inside mmdet3d's PFNLayer, but computes statistics only over valid
     (non-padded) pillar points, which the CUDA path got implicitly from its
-    dynamic shapes.
+    dynamic shapes. Setup-style so the fused inference kernel can fold the
+    running stats into an affine without calling the module.
     """
 
+    features: int
     momentum: float = 0.99  # torch momentum 0.01 == ema decay 0.99
     eps: float = 1e-3
-    use_running_average: bool | None = None
 
-    @nn.compact
-    def __call__(self, x, mask, use_running_average: bool | None = None):
+    def setup(self):
+        c = self.features
+        self.ra_mean = self.variable("batch_stats", "mean",
+                                     lambda: jnp.zeros((c,)))
+        self.ra_var = self.variable("batch_stats", "var",
+                                    lambda: jnp.ones((c,)))
+        self.scale = self.param("scale", nn.initializers.ones, (c,))
+        self.bias = self.param("bias", nn.initializers.zeros, (c,))
+
+    def folded(self):
+        """Eval-mode affine (g, b): bn(x) = x * g + b under running stats."""
+        g = self.scale * jax.lax.rsqrt(self.ra_var.value + self.eps)
+        return g, self.bias - self.ra_mean.value * g
+
+    def __call__(self, x, mask, use_running_average: bool):
         # x: (..., C); mask: (...,) bool
-        use_ra = nn.merge_param(
-            "use_running_average", self.use_running_average, use_running_average
-        )
-        c = x.shape[-1]
-        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
-        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
-        scale = self.param("scale", nn.initializers.ones, (c,))
-        bias = self.param("bias", nn.initializers.zeros, (c,))
-
-        if use_ra:
-            mean, var = ra_mean.value, ra_var.value
+        if use_running_average:
+            mean, var = self.ra_mean.value, self.ra_var.value
         else:
             m = mask[..., None].astype(x.dtype)
             count = jnp.maximum(jnp.sum(m), 1.0)
@@ -60,102 +84,163 @@ class MaskedBatchNorm(nn.Module):
                 / count
             )
             if not self.is_initializing():
-                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
-                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+                self.ra_mean.value = (self.momentum * self.ra_mean.value
+                                      + (1 - self.momentum) * mean)
+                self.ra_var.value = (self.momentum * self.ra_var.value
+                                     + (1 - self.momentum) * var)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * self.scale + self.bias
         return jnp.where(mask[..., None], y, 0.0)
 
 
 class PFNLayer(nn.Module):
-    """One pillar-feature-net layer (mmdet3d semantics).
+    """One pillar-feature-net layer (mmdet3d semantics) in stream form.
 
-    linear (no bias) -> masked BN -> relu -> masked max over points;
-    non-last layers concat the pooled feature back onto every point.
+    linear (no bias) -> masked BN -> relu -> windowed segmented max over the
+    pillar's kept rows (which is simultaneously the max-pool AND its
+    broadcast back to every point); non-last layers concat the pooled
+    feature back onto every point's row.
     """
 
+    in_channels: int
     out_channels: int
+    max_points_per_pillar: int
     last: bool = False
 
-    @nn.compact
-    def __call__(self, x, mask, train: bool):
-        # x: (B, P, K, Cin); mask: (B, P, K)
-        units = self.out_channels if self.last else self.out_channels // 2
-        x = nn.Dense(units, use_bias=False, name="linear")(x)
-        x = MaskedBatchNorm(name="norm")(x, mask, use_running_average=not train)
+    @property
+    def units(self) -> int:
+        return self.out_channels if self.last else self.out_channels // 2
+
+    def setup(self):
+        self.linear = DenseNoBias(self.in_channels, self.units)
+        self.norm = MaskedBatchNorm(self.units)
+
+    def __call__(self, x, pid, kept, train: bool):
+        # x: (B, N, Cin) sorted point stream; pid/kept: (B, N)
+        x = self.linear(x)
+        x = self.norm(x, kept, use_running_average=not train)
         x = nn.relu(x)
-        x = jnp.where(mask[..., None], x, 0.0)
-        pooled = jnp.max(jnp.where(mask[..., None], x, -jnp.inf), axis=-2)
-        pooled = jnp.where(jnp.any(mask, axis=-1)[..., None], pooled, 0.0)
+        x = jnp.where(kept[..., None], x, 0.0)
+        # post-ReLU activations are >= 0, so zero-masked dropped rows are an
+        # exact identity for the windowed max
+        pooled = windowed_segment_max(
+            x, pid, self.max_points_per_pillar, symmetric=not self.last)
         if self.last:
-            return pooled
-        rep = jnp.broadcast_to(pooled[..., None, :], x.shape[:-1] + (units,))
-        return jnp.concatenate([x, rep], axis=-1)
+            return pooled  # per-row segment max; read at segment starts
+        return jnp.concatenate([x, pooled], axis=-1)
 
 
 class PillarFeatureNet(nn.Module):
-    """Decorate + encode pillars to per-pillar features (B, P, C)."""
+    """Decorate + encode the sorted point stream to per-pillar features.
+
+    Matches mmdet3d's PillarFeatureNet semantics (reference
+    ``mask_bev_encoders.py:70,90``: decorations = cluster offset, pillar
+    center offset, distance) but runs on the sorted stream: the cluster mean
+    is a windowed segmented sum, the pillar center comes straight from the
+    pillar id, and no (P, K, D) buffer exists.
+    """
 
     feat_channels: Sequence[int]
     x_range: Tuple[float, float]
     y_range: Tuple[float, float]
     z_range: Tuple[float, float]
     voxel_size: float
+    max_points_per_pillar: int = 32
     point_dim: int = 4
     with_distance: bool = True
     encoding_type: str = "vanilla"  # vanilla | fourier | cosine
     fourier_enc_group: int = 1
+    use_pallas: bool = True  # fused VMEM kernel on TPU inference
 
-    @nn.compact
-    def __call__(self, pb: PillarBatch, train: bool = True):
-        feats, num_points, coords = pb.feats, pb.num_points, pb.coords
-        b, p, k, d = feats.shape
-        mask = (
-            jnp.arange(k)[None, None, :] < num_points[..., None]
-        )  # (B, P, K)
-        fm = mask[..., None].astype(feats.dtype)
-
-        xyz = feats[..., :3]
-        counts = jnp.maximum(num_points[..., None, None], 1).astype(feats.dtype)
-        cluster_mean = jnp.sum(xyz * fm, axis=-2, keepdims=True) / counts
-        f_cluster = xyz - cluster_mean  # (B,P,K,3)
-
-        # pillar center offsets (x, y): reference PillarFeatureNet decoration
-        cx = (
-            coords[..., 1:2].astype(feats.dtype) * self.voxel_size
-            + self.x_range[0]
-            + 0.5 * self.voxel_size
-        )
-        cy = (
-            coords[..., 0:1].astype(feats.dtype) * self.voxel_size
-            + self.y_range[0]
-            + 0.5 * self.voxel_size
-        )
-        f_center = jnp.stack(
-            [xyz[..., 0] - cx, xyz[..., 1] - cy], axis=-1
-        )  # (B,P,K,2)
-
-        parts = [feats, f_cluster, f_center]
-        if self.with_distance:
-            dist = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
-            parts.append(dist)
+    @property
+    def _enc_extra(self) -> int:
         if self.encoding_type == "fourier":
-            pe = LearnableFourierPositionalEncoding(
-                groups=self.fourier_enc_group, m_dim=3, f_dim=128, h_dim=64,
-                d_dim=16, name="fourier_pe",
-            )(xyz)
-            parts.append(pe)
-        elif self.encoding_type == "cosine":
-            freqs = 2.0 ** jnp.arange(4, dtype=feats.dtype)
-            ang = xyz[..., None] * freqs  # (B,P,K,3,4)
-            parts.append(jnp.sin(ang).reshape(b, p, k, -1))
-            parts.append(jnp.cos(ang).reshape(b, p, k, -1))
-        x = jnp.concatenate(parts, axis=-1)
-        x = jnp.where(mask[..., None], x, 0.0)
+            return 16
+        if self.encoding_type == "cosine":
+            return 24
+        return 0
 
-        n = len(self.feat_channels)
+    @property
+    def _in_dim(self) -> int:
+        return (self.point_dim + 3 + 2 + (1 if self.with_distance else 0)
+                + self._enc_extra)
+
+    def setup(self):
+        if self.encoding_type == "fourier":
+            self.fourier_pe = LearnableFourierPositionalEncoding(
+                groups=self.fourier_enc_group, m_dim=3, f_dim=128, h_dim=64,
+                d_dim=16)
+        layers = []
+        nl = len(self.feat_channels)
+        in_dim = self._in_dim
         for i, ch in enumerate(self.feat_channels):
-            x = PFNLayer(ch, last=(i == n - 1), name=f"pfn_{i}")(x, mask, train)
-        return x  # (B, P, C)
+            layer = PFNLayer(
+                in_dim, ch, max_points_per_pillar=self.max_points_per_pillar,
+                last=(i == nl - 1), name=f"pfn_{i}")
+            layers.append(layer)
+            in_dim = 2 * layer.units
+        self.layers = layers
+
+    def _can_fuse(self, train: bool) -> bool:
+        return (self.use_pallas and not train
+                and self.encoding_type == "vanilla"
+                and jax.default_backend() == "tpu")
+
+    def __call__(self, sp: StreamPillars, train: bool = True):
+        pts, pid, kept = sp.pts, sp.pid, sp.kept  # (B,N,D), (B,N), (B,N)
+        b, n, d = pts.shape
+        k = self.max_points_per_pillar
+        grid_w = int(round((self.x_range[1] - self.x_range[0]) / self.voxel_size))
+
+        if self._can_fuse(train):
+            from mask_bev_tpu.ops.pallas_pfn import fused_stream_pfn
+
+            weights = []
+            for layer in self.layers:
+                g, bias = layer.norm.folded()
+                weights.append((layer.linear.kernel, g, bias))
+            out = fused_stream_pfn(
+                pts, pid, kept, weights,
+                point_dim=d, with_distance=self.with_distance, k=k,
+                grid_w=grid_w, voxel_size=self.voxel_size,
+                x0=self.x_range[0], y0=self.y_range[0])
+            return gather_at_starts(out, sp.starts, sp.valid)
+
+        xyz = pts[..., :3]
+        # cluster mean over the pillar's kept rows: windowed segmented sum of
+        # (x, y, z, 1) — the trailing 1 recovers the kept count per pillar
+        ones = jnp.ones(xyz.shape[:-1] + (1,), xyz.dtype)
+        w = jnp.where(kept[..., None], jnp.concatenate([xyz, ones], -1), 0.0)
+        sums = windowed_segment_sum(w, pid, k)  # (B,N,4)
+        counts = jnp.maximum(sums[..., 3:], 1.0)
+        f_cluster = xyz - sums[..., :3] / counts
+
+        # pillar center offsets (x, y) from the pillar id (reference
+        # PillarFeatureNet decoration); dropped rows are masked out below
+        ixf = (pid % grid_w).astype(pts.dtype)
+        iyf = (pid // grid_w).astype(pts.dtype)
+        cx = ixf * self.voxel_size + self.x_range[0] + 0.5 * self.voxel_size
+        cy = iyf * self.voxel_size + self.y_range[0] + 0.5 * self.voxel_size
+        f_center = jnp.stack(
+            [xyz[..., 0] - cx, xyz[..., 1] - cy], axis=-1)  # (B,N,2)
+
+        parts = [pts, f_cluster, f_center]
+        if self.with_distance:
+            parts.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+        if self.encoding_type == "fourier":
+            parts.append(self.fourier_pe(xyz))
+        elif self.encoding_type == "cosine":
+            freqs = 2.0 ** jnp.arange(4, dtype=pts.dtype)
+            ang = xyz[..., None] * freqs  # (B,N,3,4)
+            parts.append(jnp.sin(ang).reshape(b, n, -1))
+            parts.append(jnp.cos(ang).reshape(b, n, -1))
+        x = jnp.concatenate(parts, axis=-1)
+        x = jnp.where(kept[..., None], x, 0.0)
+
+        for layer in self.layers:
+            x = layer(x, pid, kept, train)
+        # final layer output: per-row segment max; the pillar's value sits at
+        # its start row
+        return gather_at_starts(x, sp.starts, sp.valid)  # (B, P, C)
 
 
 def scatter_to_canvas(pillar_feats, coords, valid, grid_hw):
@@ -244,6 +329,7 @@ class MaskBevEncoder(nn.Module):
     encoding_type: str = "vanilla"
     fourier_enc_group: int = 1
     pseudo_image_norm: str = "full"
+    use_pallas: bool = True
 
     @property
     def grid_hw(self):
@@ -254,7 +340,7 @@ class MaskBevEncoder(nn.Module):
     @nn.compact
     def __call__(self, points, point_mask, train: bool = True):
         """points (B, N, D) + mask -> pseudo-image (B, H, W, C) [NHWC]."""
-        pb = pillarize_batch(
+        sp = pillarize_stream_batch(
             points,
             point_mask,
             x_range=self.x_range,
@@ -270,20 +356,35 @@ class MaskBevEncoder(nn.Module):
             y_range=self.y_range,
             z_range=self.z_range,
             voxel_size=self.voxel_size,
+            max_points_per_pillar=self.max_points_per_pillar,
             point_dim=self.point_dim,
             encoding_type=self.encoding_type,
             fourier_enc_group=self.fourier_enc_group,
+            use_pallas=self.use_pallas,
             name="pillar_feature_net",
-        )(pb, train=train)
+        )(sp, train=train)
         # LayerNorm stats computed on the (P, C) pillar table: canvas cells
         # are pooled features or exact zeros, so Σ and Σ² over the canvas
         # equal those over valid pillars — two full-canvas passes saved.
         h, w = self.grid_hw
         c = pf.shape[-1]
-        pf32 = jnp.where(pb.valid[..., None], pf.astype(jnp.float32), 0.0)
+        pf32 = jnp.where(sp.valid[..., None], pf.astype(jnp.float32), 0.0)
         elems = jnp.float32(h * w * c)
         mean = pf32.sum(axis=(1, 2)) / elems  # (B,)
         var = jnp.square(pf32).sum(axis=(1, 2)) / elems - jnp.square(mean)
-        canvas = scatter_to_canvas(pf, pb.coords, pb.valid, self.grid_hw)
+        from mask_bev_tpu.ops.pallas_canvas import pick_rows_per_block
+
+        if (self.use_pallas and not train
+                and jax.default_backend() == "tpu"
+                and pf.shape[-1] % 128 == 0  # table DMA needs full lanes
+                and pick_rows_per_block(h, w)):
+            from mask_bev_tpu.ops.pallas_canvas import canvas_from_table
+
+            # slot cell ids are ascending by construction (stream sort order)
+            cells = jnp.where(
+                sp.valid, sp.coords[..., 0] * w + sp.coords[..., 1], h * w)
+            canvas = canvas_from_table(pf, cells, sp.valid, self.grid_hw)
+        else:
+            canvas = scatter_to_canvas(pf, sp.coords, sp.valid, self.grid_hw)
         return PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")(
             canvas, stats=(mean, var))

@@ -105,17 +105,20 @@ def pillarize(
     # is_first: one more (cheap) sort replaces a (slow) searchsorted
     start_keys = jnp.where(is_first, arange_n, n)
     starts_all = jnp.sort(start_keys)  # ascending: real starts first
-    if n >= p:
-        starts = starts_all[:p]
+    if n >= p + 1:
+        starts_ext = starts_all[: p + 1]
     else:  # fewer points than pillar slots
-        starts = jnp.concatenate(
-            [starts_all, jnp.full((p - n,), n, jnp.int32)])
+        starts_ext = jnp.concatenate(
+            [starts_all, jnp.full((p + 1 - n,), n, jnp.int32)])
+    starts = starts_ext[:p]
     pillar_valid = jnp.arange(p) < jnp.minimum(num_segments, p)
 
     num_valid_pts = jnp.sum(pid < sentinel)  # in-range point count
-    ends = jnp.concatenate([starts[1:], starts[-1:]])
-    ends = jnp.where(jnp.arange(p) == p - 1, num_valid_pts, ends)
-    ends = jnp.minimum(jnp.where(pillar_valid, ends, starts), num_valid_pts)
+    # a slot's segment ends where the NEXT segment starts (so the last slot
+    # cannot absorb points of overflow segments beyond the P cap), clipped
+    # to the in-range point count
+    ends = jnp.minimum(
+        jnp.where(pillar_valid, starts_ext[1:], starts), num_valid_pts)
     counts = jnp.maximum(ends - starts, 0)
     num_points = jnp.minimum(counts, k).astype(jnp.int32)
 

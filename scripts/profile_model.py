@@ -20,6 +20,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--window", type=int, default=None,
+                    help="override backbone_window_size (perf experiments)")
+    ap.add_argument("--no-pallas", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -31,6 +34,10 @@ def main():
     B = args.batch
     cfg = semantic_kitti_default().replace(
         max_points_per_scan=131072, max_num_pillars=32768)
+    if args.window:
+        cfg = cfg.replace(backbone_window_size=args.window)
+    if args.no_pallas:
+        cfg = cfg.replace(use_pallas_encoder=False)
     model = MaskBev(cfg)
     n = cfg.max_points_per_scan
     r0 = np.random.default_rng(0)

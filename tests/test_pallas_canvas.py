@@ -1,0 +1,41 @@
+"""Pallas canvas scatter vs the XLA scatter+gather path (interpret mode)."""
+import jax.numpy as jnp
+import numpy as np
+
+from mask_bev_tpu.models.encoder import scatter_to_canvas
+from mask_bev_tpu.ops.pallas_canvas import canvas_from_table
+
+
+def test_canvas_kernel_matches_xla(rng):
+    b, p, c = 2, 256, 32
+    h, w = 40, 48
+    # ascending unique cell ids per sample (the stream pillarizer's order)
+    cells = np.stack([
+        np.sort(rng.choice(h * w, size=p - 30, replace=False)).astype(np.int32)
+        for _ in range(b)])
+    cells = np.concatenate(
+        [cells, np.full((b, 30), h * w, np.int32)], axis=1)
+    valid = cells < h * w
+    table = rng.normal(size=(b, p, c)).astype(np.float32)
+    table[~valid] = 0.0
+
+    coords = np.stack([cells // w, cells % w], -1).astype(np.int32)
+    coords[~valid] = -1
+
+    expect = np.asarray(scatter_to_canvas(
+        jnp.asarray(table), jnp.asarray(coords), jnp.asarray(valid), (h, w)))
+    got = np.asarray(canvas_from_table(
+        jnp.asarray(table), jnp.asarray(cells), jnp.asarray(valid), (h, w),
+        rows_per_block=4, interpret=True))
+    np.testing.assert_allclose(got, expect, rtol=1e-6, atol=1e-6)
+
+
+def test_canvas_kernel_all_invalid(rng):
+    b, p, c, h, w = 1, 16, 8, 8, 8
+    cells = np.full((b, p), h * w, np.int32)
+    valid = np.zeros((b, p), bool)
+    table = rng.normal(size=(b, p, c)).astype(np.float32)
+    got = np.asarray(canvas_from_table(
+        jnp.asarray(table), jnp.asarray(cells), jnp.asarray(valid), (h, w),
+        rows_per_block=2, interpret=True))
+    assert (got == 0).all()
