@@ -30,6 +30,7 @@ def main():
         max_points_per_scan=131072,
         max_num_pillars=32768,
         pseudo_image_norm="full",
+        compute_dtype="bfloat16",
     )
     model = MaskBev(cfg)
 
@@ -45,20 +46,21 @@ def main():
     # ~120k real points per scan
     mask[:, 120_000:] = False
 
+    from mask_bev_tpu.utils.precision import apply_compute_dtype, resolve_dtype
+
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(pts[:1]), jnp.asarray(mask[:1]),
         train=False)
-    # bfloat16 inference: cast params + inputs; matmul accumulation stays f32
-    variables = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
+    # compute_dtype=bfloat16: params + inputs bf16, matmul accumulation f32
+    variables = apply_compute_dtype(variables, cfg)
+    in_dtype = resolve_dtype(cfg.compute_dtype)
 
     # params passed as explicit jit ARGUMENTS (not closure constants):
     # closed-over arrays are embedded as HLO constants, which defeats
     # device-resident reuse on remote-attached TPUs.
     @jax.jit
     def fwd(v, pts, mask):
-        out = model.apply(v, pts.astype(jnp.bfloat16), mask, train=False)
+        out = model.apply(v, pts.astype(in_dtype), mask, train=False)
         return out.cls_logits[-1], out.mask_logits[-1]
 
     # NB: on remote-attached TPUs block_until_ready is not a reliable

@@ -89,7 +89,8 @@ class MaskBevConfig:
     # Dataset
     dataset: str = "semantic_kitti"  # semantic_kitti | kitti | waymo
     dataset_root: Optional[str] = None
-    num_workers: int = 0
+    num_workers: int = 0  # process-pool sample loading (0 = in-line)
+    test_num_workers: Optional[int] = None  # --test override (ref :63)
     shuffle_train: bool = True
     remove_unseen: bool = True
     min_num_points: int = 1
@@ -98,9 +99,14 @@ class MaskBevConfig:
     log_every_n_step: int = 50
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
+    # observability (reference computes per-layer metrics on train AND val
+    # and dumps first-batch images every epoch, mask_bev_module.py:223-294)
+    compute_train_metrics: bool = True
+    log_images: bool = True
 
     # Precision / performance
     compute_dtype: str = "float32"  # float32 | bfloat16
+    use_pallas_encoder: bool = True  # fused VMEM pillar kernel (TPU inference)
     pseudo_image_norm: str = "full"  # 'full' = LayerNorm([C,H,W]) like reference; 'channel' = per-channel
 
     # Unknown YAML keys land here (reference swallows them via **kwargs)

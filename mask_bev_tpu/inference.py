@@ -36,18 +36,26 @@ class MaskBevPredictor:
 
     def __init__(self, cfg: MaskBevConfig, variables,
                  background_class: int = 0):
+        from mask_bev_tpu.utils.precision import (
+            apply_compute_dtype, resolve_dtype)
+
         self.cfg = cfg
         self.model = MaskBev(cfg)
-        self.variables = variables
+        # cfg.compute_dtype: bfloat16 puts the whole forward pass in bf16
+        self.variables = apply_compute_dtype(variables, cfg)
         self.background_class = background_class
+        in_dtype = resolve_dtype(cfg.compute_dtype)
 
         # params as explicit args (closure arrays become HLO constants,
         # which blocks device-resident reuse on remote-attached TPUs)
         @jax.jit
         def _fwd(v, points, mask):
-            out = self.model.apply(v, points, mask, train=False)
-            return (jax.nn.softmax(out.cls_logits[-1], axis=-1),
-                    jax.nn.sigmoid(out.mask_logits[-1]))
+            out = self.model.apply(v, points.astype(in_dtype), mask,
+                                   train=False)
+            return (jax.nn.softmax(
+                        out.cls_logits[-1].astype(jnp.float32), axis=-1),
+                    jax.nn.sigmoid(
+                        out.mask_logits[-1].astype(jnp.float32)))
 
         self._fwd = lambda points, mask: _fwd(self.variables, points, mask)
 

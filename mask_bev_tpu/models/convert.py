@@ -74,9 +74,33 @@ def convert_torch_swin(state_dict: Dict[str, np.ndarray],
         assert value.shape == want, (dst_path, value.shape, want)
         node[dst_path[-1]] = value.astype(np.float32)
 
-    norm = lambda k: (k.replace("layers.", "stages.")
-                      .replace("attn.w_msa.", "attn.")
-                      .replace("backbone.", ""))
+    # mmdet's PatchMerging samples with nn.Unfold: 4C channels ordered
+    # channel-major with positions (0,0),(0,1),(1,0),(1,1) inside each
+    # channel. This framework (like the original microsoft release)
+    # concatenates position-major [x(0,0), x(1,0), x(0,1), x(1,1)] x C.
+    # Detect the flavor BEFORE key canonicalization and permute merge
+    # weights accordingly (verified by activation parity tests against
+    # torch re-expressions of both flavors, tests/test_torch_parity.py).
+    is_mmdet = any(("w_msa" in k) or k.split("backbone.")[-1].startswith("stages.")
+                   for k in state_dict)
+
+    def _merge_perm(four_c: int) -> np.ndarray:
+        c = four_c // 4
+        ours_pos = [(0, 0), (1, 0), (0, 1), (1, 1)]
+        mmdet_pos = [(0, 0), (0, 1), (1, 0), (1, 1)]
+        perm = np.empty(four_c, np.int64)
+        for j in range(four_c):
+            pos, ch = ours_pos[j // c], j % c
+            perm[j] = ch * 4 + mmdet_pos.index(pos)
+        return perm
+
+    def norm(k: str) -> str:
+        k = k.replace("backbone.", "")
+        # microsoft 'layers.N' -> 'stages.N' — anchored, so mmdet's
+        # 'ffn.layers.0.0.weight' block keys are NOT mangled
+        k = re.sub(r"^layers\.", "stages.", k)
+        return k.replace("attn.w_msa.", "attn.")
+
     sd = {norm(k): np.asarray(v) for k, v in state_dict.items()}
 
     for key, v in sd.items():
@@ -130,11 +154,15 @@ def convert_torch_swin(state_dict: Dict[str, np.ndarray],
             if mg not in bb:
                 continue
             if rest == "norm.weight":
-                put([mg, "norm", "scale"], v)
+                put([mg, "norm", "scale"],
+                    v[_merge_perm(v.shape[0])] if is_mmdet else v)
             elif rest == "norm.bias":
-                put([mg, "norm", "bias"], v)
+                put([mg, "norm", "bias"],
+                    v[_merge_perm(v.shape[0])] if is_mmdet else v)
             elif rest == "reduction.weight":
-                put([mg, "reduction", "kernel"], v.T)
+                # torch Linear weight (out, in): permute the 4C input dim
+                vt = v[:, _merge_perm(v.shape[1])] if is_mmdet else v
+                put([mg, "reduction", "kernel"], vt.T)
         # output norms (mmdet: norm0..norm3)
         elif m := re.match(r"norm(\d+)\.(weight|bias)", key):
             i, wb = int(m.group(1)), m.group(2)

@@ -38,14 +38,24 @@ class MaskBev(nn.Module):
             encoding_type=c.encoder_encoding_type,
             fourier_enc_group=c.encoder_fourier_enc_group,
             pseudo_image_norm=c.pseudo_image_norm,
+            use_pallas=c.use_pallas_encoder,
         )
+        strides = tuple(c.backbone_strides)
+        if strides[1:] != (2, 2, 2):
+            raise ValueError(
+                "backbone_strides[1:] must be (2, 2, 2): patch merging halves "
+                f"the grid per stage (got {strides}); only the patch-embed "
+                "stride strides[0] is configurable, as in every reference "
+                "config (mask_bev_backbone.py:50)")
         self.backbone = SwinTransformer(
             embed_dim=c.backbone_embed_dim,
             depths=tuple(c.backbone_depths),
             num_heads=tuple(c.backbone_num_heads),
             window=c.backbone_window_size,
             patch_size=c.backbone_patch_size,
+            patch_stride=strides[0],
             mlp_ratio=c.backbone_mlp_ratio,
+            drop_path_rate=c.backbone_drop_path_rate,
             use_abs_pos_embed=c.backbone_use_abs_emb,
             swap_dims=c.backbone_swap_dims,
         )

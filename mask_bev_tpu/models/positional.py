@@ -42,7 +42,7 @@ class LearnableFourierPositionalEncoding(nn.Module):
         f = jnp.concatenate([jnp.cos(w), jnp.sin(w)], axis=-1)
         f = f / math.sqrt(self.f_dim)
         y = nn.Dense(self.h_dim, name="mlp_hidden")(f)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(self.d_dim, name="mlp_out")(y)
         return y.reshape(shape[:-1] + (g * self.d_dim,))
 

@@ -138,28 +138,42 @@ class ShiftWindowMSA(nn.Module):
 
 
 class SwinBlock(nn.Module):
-    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual (ref swin.py:287-374)."""
+    """LN -> (S)W-MSA -> residual -> LN -> MLP -> residual (ref swin.py:287-374).
+
+    ``drop_path`` is stochastic depth on both residual branches (timm/mmcv
+    DropPath semantics: per-sample Bernoulli, rescaled by keep-prob), active
+    only in training.
+    """
 
     dim: int
     num_heads: int
     window: int
     shift: bool
     mlp_ratio: int = 4
+    drop_path: float = 0.0
+
+    def _drop_path(self, y, train: bool):
+        if not train or self.drop_path <= 0.0:
+            return y
+        keep = 1.0 - self.drop_path
+        rng = self.make_rng("dropout")
+        mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1))
+        return y * mask.astype(y.dtype) / keep
 
     @nn.compact
-    def __call__(self, x, hw):
+    def __call__(self, x, hw, train: bool = True):
         shortcut = x
         y = nn.LayerNorm(name="norm1")(x)
         y = ShiftWindowMSA(
             self.dim, self.num_heads, self.window,
             shift=self.window // 2 if self.shift else 0, name="attn",
         )(y, hw)
-        x = shortcut + y
+        x = shortcut + self._drop_path(y, train)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, name="ffn_1")(y)
-        y = nn.gelu(y)
+        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
         y = nn.Dense(self.dim, name="ffn_2")(y)
-        return x + y
+        return x + self._drop_path(y, train)
 
 
 class PatchMerging(nn.Module):
@@ -199,7 +213,9 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window: int = 10
     patch_size: int = 4
+    patch_stride: Optional[int] = None  # None = patch_size (ref strides[0])
     mlp_ratio: int = 4
+    drop_path_rate: float = 0.0  # linearly scaled over depth, ref swin.py:548
     use_abs_pos_embed: bool = False
     abs_pos_grid: Optional[Tuple[int, int]] = None  # pretrain grid; None = runtime grid
     swap_dims: bool = False
@@ -209,12 +225,15 @@ class SwinTransformer(nn.Module):
     def __call__(self, x, train: bool = True):
         b, h, w, c = x.shape
         p = self.patch_size
-        # pad to patch multiple (mmdet PatchEmbed 'corner' padding)
-        hp = int(np.ceil(h / p)) * p
-        wp = int(np.ceil(w / p)) * p
+        stride = self.patch_stride or p
+        # pad to stride multiple (mmdet PatchEmbed 'corner' padding)
+        hp = int(np.ceil(h / stride)) * stride
+        wp = int(np.ceil(w / stride)) * stride
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
-        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), name="patch_embed")(x)
-        gh, gw = hp // p, wp // p
+        x = nn.Conv(self.embed_dim, (p, p), strides=(stride, stride),
+                    padding="SAME" if stride != p else "VALID",
+                    name="patch_embed")(x)
+        gh, gw = hp // stride, wp // stride
         x = x.reshape(b, gh * gw, self.embed_dim)
         x = nn.LayerNorm(name="patch_norm")(x)
 
@@ -234,13 +253,20 @@ class SwinTransformer(nn.Module):
         outs = []
         hw = (gh, gw)
         dim = self.embed_dim
+        total_depth = sum(self.depths)
+        # per-block stochastic-depth rates, linearly scaled to drop_path_rate
+        dpr = [self.drop_path_rate * i / max(total_depth - 1, 1)
+               for i in range(total_depth)]
+        block_idx = 0
         for i, depth in enumerate(self.depths):
             for d in range(depth):
                 x = SwinBlock(
                     dim, self.num_heads[i], self.window,
                     shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
+                    drop_path=dpr[block_idx],
                     name=f"stage{i}_block{d}",
-                )(x, hw)
+                )(x, hw, train=train)
+                block_idx += 1
             if i in self.out_indices:
                 y = nn.LayerNorm(name=f"out_norm{i}")(x)
                 outs.append(y.reshape(b, hw[0], hw[1], dim))  # (B, H, W, C)
