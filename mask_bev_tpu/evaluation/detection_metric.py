@@ -163,7 +163,13 @@ class MaskArea(_ListMetric):
 
 
 class MaskMeanAveragePrecision:
-    """COCO-style segm mAP over accumulated (pred, target) image pairs."""
+    """COCO-style segm mAP over accumulated (pred, target) image pairs.
+
+    Accumulates per-image (scores, labels, gt labels, pred x gt IoU matrix) —
+    callers that already have device-computed IoUs (the train metric bank)
+    feed them directly via :meth:`update_from_ious`; the mask-based
+    :meth:`update` derives the IoUs here.
+    """
 
     IOU_THRESHOLDS = np.arange(0.5, 1.0, 0.05)
 
@@ -173,21 +179,31 @@ class MaskMeanAveragePrecision:
     def reset(self):
         self._images: List[dict] = []
 
+    def update_from_ious(self, pred_scores, pred_labels, gt_labels, ious):
+        """One image: scores (P,), labels (P,), gt_labels (G,), ious (P, G)."""
+        self._images.append(dict(
+            ps=np.asarray(pred_scores, np.float64).reshape(-1),
+            pl=np.asarray(pred_labels, np.int64).reshape(-1),
+            gl=np.asarray(gt_labels, np.int64).reshape(-1),
+            ious=np.asarray(ious, np.float64),
+        ))
+
     def update(self, pred_masks, pred_scores, pred_labels,
                gt_masks, gt_labels):
         """One image: pred_masks (P, H, W) bool, scores (P,), labels (P,);
         gt_masks (G, H, W) bool, gt_labels (G,)."""
-        self._images.append(dict(
-            pm=np.asarray(pred_masks, bool),
-            ps=np.asarray(pred_scores, np.float64).reshape(-1),
-            pl=np.asarray(pred_labels, np.int64).reshape(-1),
-            gm=np.asarray(gt_masks, bool),
-            gl=np.asarray(gt_labels, np.int64).reshape(-1),
-        ))
+        pm = np.asarray(pred_masks, bool)
+        gm = np.asarray(gt_masks, bool)
+        pf = pm.reshape(pm.shape[0], -1).astype(np.float64)
+        gf = gm.reshape(gm.shape[0], -1).astype(np.float64)
+        inter = pf @ gf.T
+        union = pf.sum(-1)[:, None] + gf.sum(-1)[None, :] - inter
+        ious = inter / (union + _EPS)
+        self.update_from_ious(pred_scores, pred_labels, gt_labels, ious)
 
-    def compute(self) -> float:
-        if not self._images:
-            return 0.0
+    def _ap_at(self, threshold: float) -> float:
+        """Mean over classes of AP at one IoU threshold (greedy matching in
+        score order per image, like torchmetrics/COCOeval)."""
         classes = sorted(set(np.concatenate(
             [img["gl"] for img in self._images] or [np.array([], np.int64)]
         ).tolist()))
@@ -195,43 +211,44 @@ class MaskMeanAveragePrecision:
             return 0.0
         aps = []
         for cls in classes:
-            # gather detections for this class across images
-            scores, matches_by_t, total_gt = [], [], 0
-            per_image = []
+            total_gt = 0
+            confs, tps = [], []
             for img in self._images:
                 pi = img["pl"] == cls
                 gi = img["gl"] == cls
-                pm, ps = img["pm"][pi], img["ps"][pi]
-                gm = img["gm"][gi]
-                total_gt += gm.shape[0]
-                if pm.shape[0] == 0:
-                    continue
-                ious = np.zeros((pm.shape[0], gm.shape[0]))
-                for a in range(pm.shape[0]):
-                    for b in range(gm.shape[0]):
-                        inter = np.logical_and(pm[a], gm[b]).sum()
-                        union = np.logical_or(pm[a], gm[b]).sum()
-                        ious[a, b] = inter / (union + _EPS)
-                per_image.append((ps, ious))
+                ps = img["ps"][pi]
+                ious = img["ious"][pi][:, gi]
+                total_gt += int(gi.sum())
+                order = np.argsort(-ps, kind="stable")
+                taken = np.zeros(ious.shape[1], bool)
+                for d in order:
+                    confs.append(ps[d])
+                    best, best_iou = -1, threshold
+                    for g in range(ious.shape[1]):
+                        if not taken[g] and ious[d, g] >= best_iou:
+                            best, best_iou = g, ious[d, g]
+                    if best >= 0:
+                        taken[best] = True
+                        tps.append(1.0)
+                    else:
+                        tps.append(0.0)
             if total_gt == 0:
                 continue
-            for t in self.IOU_THRESHOLDS:
-                confs, tps = [], []
-                for ps, ious in per_image:
-                    order = np.argsort(-ps, kind="stable")
-                    taken = np.zeros(ious.shape[1], bool)
-                    for d in order:
-                        confs.append(ps[d])
-                        best, best_iou = -1, t
-                        for g in range(ious.shape[1]):
-                            if not taken[g] and ious[d, g] >= best_iou:
-                                best, best_iou = g, ious[d, g]
-                        if best >= 0:
-                            taken[best] = True
-                            tps.append(1.0)
-                        else:
-                            tps.append(0.0)
-                aps.append(average_precision(
-                    np.asarray(confs), np.asarray(tps), total_gt,
-                    IntegrationMode.InterpolationCOCO))
+            aps.append(average_precision(
+                np.asarray(confs), np.asarray(tps), total_gt,
+                IntegrationMode.InterpolationCOCO))
         return float(np.mean(aps)) if aps else 0.0
+
+    def compute(self) -> float:
+        if not self._images:
+            return 0.0
+        return float(np.mean([self._ap_at(t) for t in self.IOU_THRESHOLDS]))
+
+    def compute_dict(self) -> dict:
+        """torchmetrics-style keys (reference logs map/map_50/map_75,
+        ``mask_bev_module.py:228-236``)."""
+        if not self._images:
+            return {"map": 0.0, "map_50": 0.0, "map_75": 0.0}
+        per_t = {round(float(t), 2): self._ap_at(t) for t in self.IOU_THRESHOLDS}
+        return {"map": float(np.mean(list(per_t.values()))),
+                "map_50": per_t[0.5], "map_75": per_t[0.75]}

@@ -48,13 +48,17 @@ class CheckpointManager:
             shutil.rmtree(path)
         tmp.rename(path)
 
-    def save_last(self, state, step: int, epoch: int) -> None:
+    def save_last(self, state, step: int, epoch: int,
+                  meta: Optional[Dict[str, Any]] = None) -> None:
         self._save("last", state)
         self.index["last_step"] = int(step)
         self.index["last_epoch"] = int(epoch)
+        if meta is not None:
+            self.index["last_meta"] = meta
         self._write_index()
 
-    def save_best(self, state, step: int, epoch: int, val_loss: float) -> bool:
+    def save_best(self, state, step: int, epoch: int, val_loss: float,
+                  meta: Optional[Dict[str, Any]] = None) -> bool:
         """Keep top-1 by val_loss (reference ModelCheckpoint semantics)."""
         best = self.index.get("best_val_loss")
         if best is None or val_loss < best:
@@ -62,9 +66,16 @@ class CheckpointManager:
             self.index["best_val_loss"] = float(val_loss)
             self.index["best_step"] = int(step)
             self.index["best_epoch"] = int(epoch)
+            if meta is not None:
+                self.index["best_meta"] = meta
             self._write_index()
             return True
         return False
+
+    def meta(self, which: str = "last") -> Dict[str, Any]:
+        """Host-side training metadata (plateau/early-stop state) saved
+        alongside a checkpoint; empty for external checkpoint paths."""
+        return dict(self.index.get(f"{which}_meta") or {})
 
     def restore(self, target, which: str = "last"):
         """which: 'last' | 'best' | explicit path."""

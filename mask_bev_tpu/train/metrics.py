@@ -1,28 +1,38 @@
-"""Per-decoder-layer online metrics (reference semantics).
+"""Per-decoder-layer online metrics (reference semantics, TPU-friendly).
 
 Rebuild of ``MaskBevPanopticHead.update_mAP_metrics`` (reference
 ``mask_bev_panoptic_head.py:34-96``) + the per-layer metric dicts of the task
-module (``mask_bev_module.py:82-94``): for a chosen decoder layer, re-derive
-the query->GT assignment, then update
-  * binary classification AP (scores of ``evaluated_class`` vs matched
-    labels — the reference evaluates class index 0),
+module (``mask_bev_module.py:82-94,223-240``): for EVERY decoder layer, on
+train and val, re-derive the query->GT assignment and update
+  * binary classification AP (reference: scores of ``evaluated_class`` —
+    class index 0, the de-facto no-object class in the unflipped label
+    convention; see the y_true note below),
   * mean IoU of thresholded matched masks vs GT,
-  * COCO-style segm mAP.
+  * COCO-style segm mAP (map / map_50 / map_75 like torchmetrics).
 
-Matching reuses the on-device Hungarian; mask upscale to GT resolution via
-``jax.image.resize`` mirrors the reference's F.interpolate bilinear.
+TPU-first: matching, mask upscale (``jax.image.resize`` = the reference's
+bilinear F.interpolate), thresholding and the full pred x gt IoU matrices are
+computed ON DEVICE by one jitted function reused across layers; the host
+receives only small per-query vectors, appended lazily so the training step
+stream never synchronizes mid-epoch.
+
+y_true convention (documented deviation): the reference feeds the RAW matched
+label vector into a torchmetrics *binary* AP whose semantics for labels
+outside {0, 1} are undefined (``mask_bev_panoptic_head.py:74-80``). Here the
+binary target is the well-defined completion ``labels == evaluated_class``,
+i.e. the AP of predicting the evaluated class; parity comparisons should use
+the mask metrics, which are unambiguous.
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mask_bev_tpu.config import MaskBevConfig
-from mask_bev_tpu.evaluation.average_precision import batched_mask_iou
 from mask_bev_tpu.evaluation.detection_metric import (
     BinaryClassifMapMetric, MaskMeanAveragePrecision, MeanIoU)
 from mask_bev_tpu.losses import match_layer
@@ -45,12 +55,115 @@ class LayerMetrics:
         self.miou.reset()
 
     def compute(self) -> Dict[str, float]:
-        return {
-            "cls_mAP": self.cls_ap.compute(),
-            "mask_mAP": self.segm_map.compute(),
-            "mIoU": self.miou.compute(),
-        }
+        out = {"cls_mAP": self.cls_ap.compute(), "mIoU": self.miou.compute()}
+        out.update({f"mask_{k}": v for k, v in
+                    self.segm_map.compute_dict().items()})
+        return out
 
+
+def make_layer_stats_fn(cfg: MaskBevConfig, evaluated_class: int = 0):
+    """Jitted per-layer device computation shared by all decoder layers."""
+
+    @jax.jit
+    def layer_stats(rng, cls_logits, mask_logits, gt_labels, gt_masks,
+                    gt_valid):
+        b, q = cls_logits.shape[:2]
+        h, w = gt_masks.shape[-2:]
+        mr = match_layer(rng, cls_logits, mask_logits, gt_labels,
+                         gt_masks, gt_valid, cfg)
+        probs = jax.nn.softmax(cls_logits.astype(jnp.float32), axis=-1)
+        pred = jax.nn.sigmoid(jax.image.resize(
+            mask_logits.astype(jnp.float32), (b, q, h, w), "bilinear")) > 0.5
+        gm = gt_masks.astype(jnp.float32)
+        pm = pred.astype(jnp.float32)
+        inter = jnp.einsum("bqhw,bghw->bqg", pm, gm)
+        area_p = pm.sum((-2, -1))
+        area_g = gm.sum((-2, -1))
+        ious = inter / (area_p[:, :, None] + area_g[:, None, :] - inter + 1e-7)
+        # IoU of each matched (query, gt) pair
+        iou_matched = jnp.take_along_axis(
+            ious, mr.gt_of_query[..., None], axis=-1)[..., 0]
+        return probs, mr.matched, mr.gt_of_query, ious, iou_matched
+
+    return layer_stats
+
+
+class LayerMetricsBank:
+    """One LayerMetrics per decoder output, with lazy device->host flushing."""
+
+    def __init__(self, cfg: MaskBevConfig, evaluated_class: int = 0):
+        self.cfg = cfg
+        self.evaluated_class = evaluated_class
+        self.num_layers = cfg.num_decoder_outputs
+        self.layers = {i: LayerMetrics.create() for i in range(self.num_layers)}
+        self._stats_fn = make_layer_stats_fn(cfg, evaluated_class)
+        self._pending: List = []
+
+    def reset(self):
+        for m in self.layers.values():
+            m.reset()
+        self._pending.clear()
+
+    def update(self, rng: jax.Array, outputs: DecoderOutputs,
+               batch: Dict[str, np.ndarray]) -> None:
+        """Enqueue device-side stats for every layer; no host sync here."""
+        gt_labels = jnp.asarray(batch["gt_labels"])
+        gt_masks = jnp.asarray(batch["gt_masks"])
+        gt_valid = jnp.asarray(batch["gt_valid"])
+        # GT rows entering segm mAP: valid and non-degenerate (old behavior)
+        gt_real = np.asarray(batch["gt_valid"]) & (
+            np.asarray(batch["gt_masks"]).sum((-2, -1)) > 0)
+        for i in range(self.num_layers):
+            rng, sub = jax.random.split(rng)
+            stats = self._stats_fn(
+                sub, outputs.cls_logits[i], outputs.mask_logits[i],
+                gt_labels, gt_masks, gt_valid)
+            self._pending.append((i, stats, batch["gt_labels"], gt_real))
+
+    def _flush(self) -> None:
+        for i, stats, gt_labels_np, gt_real_np in self._pending:
+            probs, matched, gt_of_query, ious, iou_matched = (
+                np.asarray(s) for s in stats)
+            m = self.layers[i]
+            b, q = probs.shape[:2]
+            nc = self.cfg.head_num_classes
+            for s in range(b):
+                y_scores = probs[s, :, self.evaluated_class]
+                labels = np.full(q, nc, np.int64)
+                mk = matched[s]
+                labels[mk] = gt_labels_np[s][gt_of_query[s][mk]]
+                y_true = (labels == self.evaluated_class).astype(np.int64)
+                m.cls_ap.update(y_scores, y_true)
+
+                if mk.any():
+                    m.miou.update(iou_matched[s][mk])
+
+                pred_cls = probs[s].argmax(-1)
+                keep = pred_cls != self.evaluated_class
+                real_gt = gt_real_np[s]
+                m.segm_map.update_from_ious(
+                    pred_scores=probs[s].max(-1)[keep],
+                    pred_labels=pred_cls[keep],
+                    gt_labels=gt_labels_np[s][real_gt],
+                    ious=ious[s][keep][:, real_gt])
+        self._pending.clear()
+
+    def compute(self) -> Dict[str, float]:
+        """Reference metric names: mAP_cls_{i}, mAP_{i}_{map*}, mIoU_{i}
+        (``mask_bev_module.py:223-240``)."""
+        self._flush()
+        out: Dict[str, float] = {}
+        for i, m in self.layers.items():
+            vals = m.compute()
+            out[f"mAP_cls_{i}"] = vals["cls_mAP"]
+            out[f"mIoU_{i}"] = vals["mIoU"]
+            for k, v in vals.items():
+                if k.startswith("mask_"):
+                    out[f"mAP_{i}_{k[5:]}"] = v
+        return out
+
+
+# --- backwards-compatible single-layer helpers (final layer only) ---
 
 def update_layer_metrics(
     rng: jax.Array,
@@ -61,49 +174,15 @@ def update_layer_metrics(
     layer_index: int = -1,
     evaluated_class: int = 0,
 ) -> None:
-    cls_logits = outputs.cls_logits[layer_index]
-    mask_logits = outputs.mask_logits[layer_index]
-    gt_labels = jnp.asarray(batch["gt_labels"])
-    gt_masks = jnp.asarray(batch["gt_masks"])
-    gt_valid = jnp.asarray(batch["gt_valid"])
-
-    mr = match_layer(rng, cls_logits, mask_logits, gt_labels,
-                     gt_masks, gt_valid, cfg)
-
-    b, q = cls_logits.shape[:2]
-    h, w = gt_masks.shape[-2:]
-    probs = np.asarray(jax.nn.softmax(cls_logits, axis=-1))
-    pred_masks = np.asarray(jax.nn.sigmoid(jax.image.resize(
-        mask_logits, (b, q, h, w), "bilinear"))) > 0.5
-    gt_of_query = np.asarray(mr.gt_of_query)
-    matched = np.asarray(mr.matched)
-    gt_labels_np = np.asarray(gt_labels)
-    gt_masks_np = np.asarray(gt_masks).astype(bool)
-    gt_valid_np = np.asarray(gt_valid)
-
-    for s in range(b):
-        # classification metric: score of evaluated_class vs matched label
-        y_scores = probs[s, :, evaluated_class]
-        labels = np.full(q, cfg.head_num_classes, np.int64)
-        m = matched[s]
-        labels[m] = gt_labels_np[s][gt_of_query[s][m]]
-        y_true = (labels == evaluated_class).astype(np.int64)
-        metrics.cls_ap.update(y_scores, y_true)
-
-        # mIoU over matched (pred, gt) pairs
-        if m.any():
-            tgt = gt_masks_np[s][gt_of_query[s][m]]
-            prd = pred_masks[s][m]
-            metrics.miou.update(batched_mask_iou(tgt, prd))
-
-        # segm mAP: predictions = non-background argmax queries
-        pred_cls = probs[s].argmax(-1)
-        keep = pred_cls != evaluated_class  # background slot
-        gv = gt_valid_np[s] & (np.arange(q) < q)
-        real_gt = gv & (gt_masks_np[s].sum((-2, -1)) > 0)
-        metrics.segm_map.update(
-            pred_masks=pred_masks[s][keep],
-            pred_scores=probs[s].max(-1)[keep],
-            pred_labels=pred_cls[keep],
-            gt_masks=gt_masks_np[s][real_gt],
-            gt_labels=gt_labels_np[s][real_gt])
+    """Update one LayerMetrics for a single decoder layer (tests/tools)."""
+    bank = LayerMetricsBank(cfg, evaluated_class)
+    idx = layer_index % cfg.num_decoder_outputs
+    bank.layers[idx] = metrics
+    stats = bank._stats_fn(
+        rng, outputs.cls_logits[idx], outputs.mask_logits[idx],
+        jnp.asarray(batch["gt_labels"]), jnp.asarray(batch["gt_masks"]),
+        jnp.asarray(batch["gt_valid"]))
+    gt_real = np.asarray(batch["gt_valid"]) & (
+        np.asarray(batch["gt_masks"]).sum((-2, -1)) > 0)
+    bank._pending.append((idx, stats, batch["gt_labels"], gt_real))
+    bank._flush()

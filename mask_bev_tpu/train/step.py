@@ -46,7 +46,9 @@ def create_train_state(cfg: MaskBevConfig, rng: jax.Array,
     n = cfg.max_points_per_scan
     dummy_pts = jnp.zeros((1, n, cfg.pc_point_dim))
     dummy_mask = jnp.zeros((1, n), bool)
-    variables = model.init(rng, dummy_pts, dummy_mask, train=True)
+    init_rng, drop_rng = jax.random.split(rng)
+    variables = model.init({"params": init_rng, "dropout": drop_rng},
+                           dummy_pts, dummy_mask, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = make_optimizer(cfg, params, steps_per_epoch)
@@ -59,21 +61,27 @@ def create_train_state(cfg: MaskBevConfig, rng: jax.Array,
 def make_train_step(model: MaskBev, cfg: MaskBevConfig):
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):
+        loss_rng, path_rng = jax.random.split(rng)
+
         def loss_fn(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["points"], batch["point_mask"], train=True,
-                mutable=["batch_stats"])
+                mutable=["batch_stats"], rngs={"dropout": path_rng})
             total, logs = maskbev_loss(
-                rng, out,
+                loss_rng, out,
                 batch["gt_labels"], batch["gt_masks"], batch["gt_valid"],
                 batch.get("gt_heights") if cfg.predict_height else None,
                 cfg)
-            return total, (logs, mut["batch_stats"])
+            return total, (logs, mut["batch_stats"], out)
 
-        grads, (logs, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+        grads, (logs, new_bs, out) = jax.grad(loss_fn, has_aux=True)(
+            state.params)
         state = state.apply_gradients(grads, new_bs)
-        return state, logs
+        # outputs returned for the per-layer train metric bank (reference
+        # computes metrics for all 10 layers on train too,
+        # mask_bev_module.py:293-296)
+        return state, logs, out
 
     return train_step
 

@@ -97,7 +97,7 @@ def test_train_step_decreases_loss(rng):
     key = jax.random.PRNGKey(42)
     for i in range(12):
         key, sub = jax.random.split(key)
-        state, logs = step(state, batch, sub)
+        state, logs, _ = step(state, batch, sub)
         losses.append(float(logs["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses

@@ -64,6 +64,13 @@ def main():
     from mask_bev_tpu.train.loop import Trainer
 
     cfg = MaskBevConfig.from_yaml(args.config)
+    if args.test and not args.train:
+        # test-time overrides (reference train_mask_bev.py:62-63)
+        cfg = cfg.replace(
+            batch_size=cfg.test_batch_size or cfg.batch_size,
+            num_workers=(cfg.test_num_workers
+                         if cfg.test_num_workers is not None
+                         else cfg.num_workers))
     root = args.data_root or cfg.dataset_root or f"data/{cfg.dataset}"
 
     print(f"devices: {jax.devices()}")
@@ -77,9 +84,7 @@ def main():
                     max_epochs=args.max_epochs)
 
     if args.test:
-        restored = trainer.ckpt.restore(
-            {"params": trainer.state.params,
-             "batch_stats": trainer.state.batch_stats}, which="best")
+        restored = trainer.ckpt.restore(trainer._ckpt_state(), which="best")
         if restored is not None:
             trainer.state = trainer.state.replace(
                 params=restored["params"], batch_stats=restored["batch_stats"])
