@@ -79,9 +79,13 @@ def batched_mask_iou(masks1, masks2) -> np.ndarray:
     return inter / (union + _EPS)
 
 
-def mask_to_min_area_box(mask: np.ndarray):
+def mask_to_min_area_box(mask: np.ndarray, scale=(1.0, 1.0)):
     """Binary mask -> min-area rect of its largest connected component,
-    or None for an empty mask. Returns (center, size, angle)."""
+    or None for an empty mask. Returns (center, size, angle).
+
+    ``scale`` = (sx, sy) cell size: cell coordinates are scaled BEFORE the
+    rect fit, so anisotropic grids get the true metric min-area rect (a
+    pixel-space fit scaled afterwards is only exact for square cells)."""
     m = np.asarray(mask) > 0
     if not m.any():
         return None
@@ -91,7 +95,8 @@ def mask_to_min_area_box(mask: np.ndarray):
         comp = 1 + int(np.argmax(sizes))
         m = lab == comp
     ys, xs = np.nonzero(m)
-    return min_area_rect(np.stack([xs, ys], -1).astype(np.float64))
+    pts = np.stack([xs * scale[0], ys * scale[1]], -1).astype(np.float64)
+    return min_area_rect(pts)
 
 
 def _render_rect(center, size, angle, shape) -> np.ndarray:

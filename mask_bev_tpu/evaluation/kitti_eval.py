@@ -18,7 +18,7 @@ pixel->meter conversion the reference leaves to the caller).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -152,12 +152,20 @@ def compute_statistics(
     min_overlap: float,
     score_threshold: float,
     compute_fp: bool = True,
-) -> Tuple[int, int, int, List[float]]:
-    """Greedy matcher (reference ``compute_statistics_jit`` :266-384)."""
+    gt_alphas: np.ndarray = None,
+    dt_alphas: np.ndarray = None,
+) -> Tuple[int, int, int, float, List[float]]:
+    """Greedy matcher (reference ``compute_statistics_jit`` :266-384).
+
+    When alphas are given, also accumulates the AOS orientation similarity
+    sum over TPs: sum of (1 + cos(gt_alpha - dt_alpha)) / 2 (reference
+    :375-383); callers divide by tp + fp.
+    """
     num_gt, num_dt = overlaps.shape
     assigned = np.zeros(num_dt, bool)
     valid_det = (dt_scores >= score_threshold) & (dt_ignored != -1)
     tp = fp = fn = 0
+    similarity = 0.0
     matched_scores = []
     for i in range(num_gt):
         if gt_ignored[i] == -1:
@@ -186,16 +194,23 @@ def compute_statistics(
             if gt_ignored[i] == 0 and dt_ignored[det_idx] == 0:
                 tp += 1
                 matched_scores.append(float(dt_scores[det_idx]))
+                if gt_alphas is not None and dt_alphas is not None:
+                    delta = float(gt_alphas[i]) - float(dt_alphas[det_idx])
+                    similarity += (1.0 + np.cos(delta)) / 2.0
     if compute_fp:
         for j in range(num_dt):
             if valid_det[j] and not assigned[j] and dt_ignored[j] == 0:
                 fp += 1
-    return tp, fp, fn, matched_scores
+    return tp, fp, fn, similarity, matched_scores
 
 
 def eval_class(gt_annos: List[dict], dt_annos: List[dict], current_class: int,
-               difficulty: int, metric: str, min_overlap: float) -> np.ndarray:
-    """Precision at 41 recall points for one (class, difficulty, metric)."""
+               difficulty: int, metric: str, min_overlap: float,
+               compute_aos: bool = False
+               ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """(precision, aos) curves at 41 recall points for one
+    (class, difficulty, metric); aos is None unless requested (bbox only,
+    reference :593-681)."""
     assert len(gt_annos) == len(dt_annos)
     per_frame = []
     total_valid_gt = 0
@@ -211,33 +226,45 @@ def eval_class(gt_annos: List[dict], dt_annos: List[dict], current_class: int,
             ov = d3_box_overlap(gt, dt)
         else:
             raise ValueError(metric)
+        ga = np.asarray(gt.get("alpha", np.zeros(len(ig_gt)))).reshape(-1)
+        da = np.asarray(dt.get("alpha", np.zeros(len(ig_dt)))).reshape(-1)
         per_frame.append((ov, ig_gt, ig_dt,
-                          np.asarray(dt["score"], np.float64).reshape(-1)))
+                          np.asarray(dt["score"], np.float64).reshape(-1),
+                          ga, da))
 
     if total_valid_gt == 0:
-        return np.zeros(N_SAMPLE_PTS)
+        return np.zeros(N_SAMPLE_PTS), (
+            np.zeros(N_SAMPLE_PTS) if compute_aos else None)
 
     # thresholds from TP scores at threshold 0
     all_scores = []
-    for ov, ig_gt, ig_dt, scores in per_frame:
-        _, _, _, ms = compute_statistics(
+    for ov, ig_gt, ig_dt, scores, _, _ in per_frame:
+        _, _, _, _, ms = compute_statistics(
             ov, ig_gt, ig_dt, scores, min_overlap, 0.0, compute_fp=False)
         all_scores.extend(ms)
     thresholds = get_thresholds(np.asarray(all_scores), total_valid_gt)
 
     precision = np.zeros(N_SAMPLE_PTS)
+    aos = np.zeros(N_SAMPLE_PTS) if compute_aos else None
     for t_idx, thresh in enumerate(thresholds):
         tp = fp = fn = 0
-        for ov, ig_gt, ig_dt, scores in per_frame:
-            a, b, c, _ = compute_statistics(
-                ov, ig_gt, ig_dt, scores, min_overlap, thresh)
-            tp += a; fp += b; fn += c
+        sim = 0.0
+        for ov, ig_gt, ig_dt, scores, ga, da in per_frame:
+            a, b, c, s, _ = compute_statistics(
+                ov, ig_gt, ig_dt, scores, min_overlap, thresh,
+                gt_alphas=ga if compute_aos else None,
+                dt_alphas=da if compute_aos else None)
+            tp += a; fp += b; fn += c; sim += s
         if tp + fp > 0:
             precision[t_idx] = tp / (tp + fp)
-    # envelope (official: precision[i] = max(precision[i:]))
+            if compute_aos:
+                aos[t_idx] = sim / (tp + fp)
+    # envelope (official: curve[i] = max(curve[i:]))
     for i in range(N_SAMPLE_PTS):
-        precision[i] = precision[i:].max() if i < len(precision) else 0
-    return precision
+        precision[i] = precision[i:].max()
+        if compute_aos:
+            aos[i] = aos[i:].max()
+    return precision, aos
 
 
 def get_mAP(precision: np.ndarray) -> float:
@@ -254,22 +281,86 @@ DEFAULT_MIN_OVERLAPS = {  # (class) -> (bbox, bev, 3d) moderate overlaps
 }
 
 
+def _annos_have_alpha(dt_annos: List[dict]) -> bool:
+    """AOS auto-detection (reference :932-937): the first non-empty dt anno
+    decides; alpha == -10 is the 'no orientation' sentinel."""
+    for anno in dt_annos:
+        alpha = np.asarray(anno.get("alpha", [])).reshape(-1)
+        if alpha.shape[0] != 0:
+            return alpha[0] != -10
+    return False
+
+
 def get_official_eval_result(gt_annos: List[dict], dt_annos: List[dict],
                              current_classes: Sequence[int] = (0,),
                              difficulties: Sequence[int] = (0, 1, 2)
                              ) -> Dict[str, Dict[str, List[float]]]:
-    """{class_name: {metric: [AP per difficulty]}} (reference :802-879)."""
+    """{class_name: {metric: [AP per difficulty]}} (reference :802-879).
+
+    When detections carry valid alphas, an 'aos' entry (orientation
+    similarity AP on the bbox matching) is included, like the reference's
+    compute_aos path.
+    """
+    compute_aos = _annos_have_alpha(dt_annos)
     out: Dict[str, Dict[str, List[float]]] = {}
     for cls in current_classes:
         name = CLASS_NAMES[cls]
         out[name] = {}
         for metric in ("bbox", "bev", "3d"):
             min_ov = DEFAULT_MIN_OVERLAPS[cls][("bbox", "bev", "3d").index(metric)]
-            aps = []
+            aps, aoss = [], []
             for diff in difficulties:
-                prec = eval_class(gt_annos, dt_annos, cls, diff, metric, min_ov)
+                prec, aos = eval_class(
+                    gt_annos, dt_annos, cls, diff, metric, min_ov,
+                    compute_aos=compute_aos and metric == "bbox")
                 aps.append(get_mAP(prec))
+                if aos is not None:
+                    aoss.append(get_mAP(aos))
             out[name][metric] = aps
+            if metric == "bbox" and compute_aos:
+                out[name]["aos"] = aoss
+    return out
+
+
+# COCO-style overlap sweep per class: (start, stop, num) — reference
+# ``get_coco_eval_result`` class_to_range (:907-915)
+COCO_OVERLAP_RANGES = {
+    0: (0.5, 0.95, 10),   # car
+    1: (0.25, 0.7, 10),   # pedestrian
+    2: (0.25, 0.7, 10),   # cyclist
+    3: (0.5, 0.95, 10),   # van
+    4: (0.25, 0.7, 10),   # person_sitting
+}
+
+
+def get_coco_eval_result(gt_annos: List[dict], dt_annos: List[dict],
+                         current_classes: Sequence[int] = (0,),
+                         difficulties: Sequence[int] = (0, 1, 2)
+                         ) -> Dict[str, Dict[str, List[float]]]:
+    """COCO-style AP averaged over an overlap sweep (reference :881-967):
+    {class_name: {metric: [AP per difficulty]}}, metrics bbox/bev/3d (+aos
+    when detections carry valid alphas)."""
+    compute_aos = _annos_have_alpha(dt_annos)
+    out: Dict[str, Dict[str, List[float]]] = {}
+    for cls in current_classes:
+        name = CLASS_NAMES[cls]
+        lo, hi, num = COCO_OVERLAP_RANGES[cls]
+        overlaps = np.linspace(lo, hi, num)
+        out[name] = {}
+        for metric in ("bbox", "bev", "3d"):
+            aps = np.zeros((len(difficulties), len(overlaps)))
+            aoss = np.zeros_like(aps)
+            for oi, min_ov in enumerate(overlaps):
+                for di, diff in enumerate(difficulties):
+                    prec, aos = eval_class(
+                        gt_annos, dt_annos, cls, diff, metric, float(min_ov),
+                        compute_aos=compute_aos and metric == "bbox")
+                    aps[di, oi] = get_mAP(prec)
+                    if aos is not None:
+                        aoss[di, oi] = get_mAP(aos)
+            out[name][metric] = aps.mean(axis=1).tolist()
+            if metric == "bbox" and compute_aos:
+                out[name]["aos"] = aoss.mean(axis=1).tolist()
     return out
 
 
@@ -295,13 +386,15 @@ def mask_to_boxes(cls_probs: np.ndarray, masks: np.ndarray,
         # reference's unflipped label convention; see datasets docstrings)
         if c == 0 or score < score_threshold:
             continue
-        rect = mask_to_min_area_box(masks[i] > mask_threshold)
+        # rect fit in METERS (scale applied before the fit, so anisotropic
+        # grids are exact; a pixel-space fit is only exact for square cells)
+        rect = mask_to_min_area_box(masks[i] > mask_threshold, scale=(sx, sy))
         if rect is None:
             continue
-        (pcx, pcy), (pw, pl), ang = rect[0], rect[1], rect[2]
-        cx = cfg.x_range[0] + (pcx + 0.5) * sx
-        cy = cfg.y_range[0] + (pcy + 0.5) * sy
-        boxes.append([cx, cy, pl * sy, pw * sx, ang])  # (x, y, w, l, yaw)
+        (mcx, mcy), (mw, ml), ang = rect[0], rect[1], rect[2]
+        cx = cfg.x_range[0] + mcx + 0.5 * sx
+        cy = cfg.y_range[0] + mcy + 0.5 * sy
+        boxes.append([cx, cy, ml, mw, ang])  # (x, y, w, l, yaw)
         scores.append(score)
         labels.append(c)
     return (np.asarray(boxes, np.float64).reshape(-1, 5),
@@ -328,7 +421,9 @@ def boxes_to_annos(boxes: np.ndarray, scores: np.ndarray,
         name=np.asarray(names), bbox=np.tile([0, 0, 0, 100.0], (n, 1)),
         location=loc, dimensions=dims, rotation_y=rot,
         score=np.asarray(scores, np.float64),
-        alpha=np.zeros(n), occluded=np.zeros(n, np.int64),
+        # masks carry no facing direction: alpha = -10 is the official
+        # 'no orientation' sentinel that disables AOS (reference :932-937)
+        alpha=np.full(n, -10.0), occluded=np.zeros(n, np.int64),
         truncated=np.zeros(n))
 
 

@@ -103,7 +103,7 @@ def test_false_positives_reduce_ap():
 def test_misses_reduce_ap():
     gts = [_gt([[10, 0, 0], [20, 0, 0]])]
     dts = [_dt([[10, 0, 0]], [0.9])]
-    prec = eval_class(gts, dts, 0, 1, "bev", 0.7)
+    prec, _ = eval_class(gts, dts, 0, 1, "bev", 0.7)
     # recall caps at 0.5 -> precision envelope hits zero past recall 0.5
     assert prec[0] == pytest.approx(1.0)
     assert prec[-1] == 0.0
@@ -112,7 +112,7 @@ def test_misses_reduce_ap():
 def test_van_ignored_not_fp():
     gts = [_gt([[10, 0, 0]], names=["Van"])]
     dts = [_dt([[10, 0, 0]], [0.9])]
-    tp, fp, fn, _ = compute_statistics(
+    tp, fp, fn, _, _ = compute_statistics(
         np.array([[1.0]]), np.array([1]), np.array([0]), np.array([0.9]),
         min_overlap=0.7, score_threshold=0.0)
     assert tp == 0 and fp == 0 and fn == 0  # matched to ignored gt
@@ -134,3 +134,75 @@ def test_mask_to_boxes_roundtrip():
     dims = sorted(boxes[0, 2:4].tolist())
     assert dims == pytest.approx([4.0, 8.0], abs=0.6)
     assert scores[0] == pytest.approx(0.9)
+
+
+def test_aos_perfect_orientation_equals_bbox_ap():
+    """With exact alphas, AOS == bbox AP; with opposite alphas, AOS == 0
+    (similarity (1+cos(pi))/2 = 0 per TP, reference kitti_eval.py:375-383)."""
+    from mask_bev_tpu.evaluation.kitti_eval import get_official_eval_result
+
+    def frame(alpha_dt):
+        gt = _gt([[10, 0, 0], [20, 5, 0]])
+        gt["alpha"] = np.array([0.3, -0.7])
+        dt = _dt([[10, 0, 0], [20, 5, 0]], [0.9, 0.8])
+        dt["alpha"] = np.array(alpha_dt)
+        return gt, dt
+
+    gt, dt = frame([0.3, -0.7])
+    res = get_official_eval_result([gt], [dt])
+    assert "aos" in res["car"]
+    assert res["car"]["aos"][1] == pytest.approx(res["car"]["bbox"][1])
+
+    gt, dt = frame([0.3 + np.pi, -0.7 + np.pi])
+    res = get_official_eval_result([gt], [dt])
+    assert res["car"]["aos"][1] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_aos_disabled_for_no_alpha_sentinel():
+    from mask_bev_tpu.evaluation.kitti_eval import get_official_eval_result
+
+    gt = _gt([[10, 0, 0]])
+    dt = _dt([[10, 0, 0]], [0.9])
+    dt["alpha"] = np.array([-10.0])  # official 'no orientation' sentinel
+    res = get_official_eval_result([gt], [dt])
+    assert "aos" not in res["car"]
+
+
+def test_coco_eval_sweeps_overlaps():
+    """Perfect detections: coco AP == 100 at every overlap; a sloppy box
+    scores lower under coco (strict 0.95 sweep) than the fixed 0.7 metric."""
+    from mask_bev_tpu.evaluation.kitti_eval import (
+        get_coco_eval_result, get_official_eval_result)
+
+    locs = [[10 + 7 * i, 6 * (i % 5), 0] for i in range(45)]
+    scores = [0.99 - 0.01 * i for i in range(45)]
+    gts = [_gt(locs)]
+    res = get_coco_eval_result(gts, [_dt(locs, scores)])
+    assert res["car"]["bev"][1] == pytest.approx(100.0, abs=1.0)
+
+    # shift detections: passes IoU 0.7 but not the strict end of the sweep
+    locs_off = [[x + 0.35, y, z] for x, y, z in locs]
+    coco = get_coco_eval_result(gts, [_dt(locs_off, scores)])["car"]["bev"][1]
+    official = get_official_eval_result(
+        gts, [_dt(locs_off, scores)])["car"]["bev"][1]
+    assert coco < official
+
+
+def test_mask_to_boxes_anisotropic_grid():
+    """Rotated box on a non-square grid: the metric-space rect fit must
+    recover true dims (pixel-space fit + scaling would distort them)."""
+    from mask_bev_tpu.datasets.synthetic import rasterize_rotated_box
+
+    cfg = MaskBevConfig(x_range=(-20, 20), y_range=(-10, 10), voxel_size=0.25)
+    # grid: W = 160 (0.25 m), H = 80 (0.25 m) -- then fake anisotropy by
+    # evaluating at half vertical resolution
+    h, w = cfg.grid_hw
+    m = np.zeros((h, w), bool)
+    rasterize_rotated_box(m, 4.0, -2.0, 8.0, 3.0, np.deg2rad(30), cfg)
+    masks = m[None, ::2, :].astype(np.float32)  # (1, H/2, W) -> sy = 2*sx
+    cls = np.array([[0.1, 0.9]], np.float32)
+    boxes, scores, labels = mask_to_boxes(cls, masks, cfg)
+    assert boxes.shape == (1, 5)
+    np.testing.assert_allclose(boxes[0, :2], [4.0, -2.0], atol=0.5)
+    dims = sorted(boxes[0, 2:4].tolist())
+    assert dims == pytest.approx([3.0, 8.0], abs=0.7)
