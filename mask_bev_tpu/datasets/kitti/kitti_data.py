@@ -142,14 +142,16 @@ class KittiMaskDataModule:
             filter_difficulty=self.filter_difficulty)
 
     def _epoch(self, ids: List[int], train: bool, seed: int) -> Iterator[Dict]:
-        rng = np.random.default_rng(seed)
+        from mask_bev_tpu.utils.workers import batched, sample_stream
+
         order = list(ids)
         if train and self.cfg.shuffle_train:
-            rng.shuffle(order)
-        b = self.cfg.batch_size
-        for start in range(0, len(order) - b + 1, b):  # drop_last (ref :108-110)
-            chunk = [self.sample(i, train, rng) for i in order[start : start + b]]
-            yield {k: np.stack([c[k] for c in chunk]) for k in chunk[0]}
+            np.random.default_rng(seed).shuffle(order)
+        stream = sample_stream(
+            lambda i, rng: self.sample(i, train, rng), order, seed,
+            num_workers=self.cfg.num_workers)
+        # drop_last batching (ref :108-110)
+        yield from batched(stream, self.cfg.batch_size, len(order))
 
     def train_batches(self, seed: int = 0) -> Iterator[Dict]:
         return self._epoch(self.train_ids, True, seed)

@@ -217,21 +217,21 @@ class SemanticKittiMaskDataModule:
         return self._datasets[split]
 
     def _epoch(self, split: str, train: bool, seed: int) -> Iterator[Dict]:
+        from mask_bev_tpu.utils.workers import batched, sample_stream
+
         ds = self._mask_dataset(split)
-        rng = np.random.default_rng(seed)
         order = np.arange(len(ds))
         if train and self.cfg.shuffle_train:
-            rng.shuffle(order)
-        b = self.cfg.batch_size
-        for start in range(0, len(order) - b + 1, b):
-            chunk = [
-                mask_scan_to_sample(
-                    ds[int(i)], self.cfg,
-                    augmentations=self.augmentations if train else None,
-                    rng=rng)
-                for i in order[start : start + b]
-            ]
-            yield {k: np.stack([c[k] for c in chunk]) for k in chunk[0]}
+            np.random.default_rng(seed).shuffle(order)
+
+        def sample(i: int, rng: np.random.Generator):
+            return mask_scan_to_sample(
+                ds[i], self.cfg,
+                augmentations=self.augmentations if train else None, rng=rng)
+
+        stream = sample_stream(sample, order, seed,
+                               num_workers=self.cfg.num_workers)
+        yield from batched(stream, self.cfg.batch_size, len(order))
 
     def train_batches(self, seed: int = 0) -> Iterator[Dict]:
         return self._epoch("train", True, seed)

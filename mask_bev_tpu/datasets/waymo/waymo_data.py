@@ -163,19 +163,20 @@ class WaymoDataModule:
         self.augmentations = make_waymo_augmentation_list(cfg.augmentations)
 
     def _epoch(self, ds: WaymoDataset, train: bool, seed: int) -> Iterator[Dict]:
-        rng = np.random.default_rng(seed)
+        from mask_bev_tpu.utils.workers import batched, sample_stream
+
         order = np.arange(len(ds))
         if train and self.cfg.shuffle_train:
-            rng.shuffle(order)
-        b = self.cfg.batch_size
-        for start in range(0, len(order) - b + 1, b):
-            chunk = [
-                frame_to_sample(
-                    ds[int(i)], self.cfg, self.rasterizer, rng=rng,
-                    augmentations=self.augmentations if train else None)
-                for i in order[start : start + b]
-            ]
-            yield {k: np.stack([c[k] for c in chunk]) for k in chunk[0]}
+            np.random.default_rng(seed).shuffle(order)
+
+        def sample(i: int, rng: np.random.Generator):
+            return frame_to_sample(
+                ds[i], self.cfg, self.rasterizer, rng=rng,
+                augmentations=self.augmentations if train else None)
+
+        stream = sample_stream(sample, order, seed,
+                               num_workers=self.cfg.num_workers)
+        yield from batched(stream, self.cfg.batch_size, len(order))
 
     def train_batches(self, seed: int = 0) -> Iterator[Dict]:
         return self._epoch(self.train_dataset, True, seed)
