@@ -82,12 +82,17 @@ class WindowMSA(nn.Module):
         )
         idx = _rel_pos_index(self.window, self.window)
         bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
 
         if attn_mask is not None:  # (nW, N, N)
+            # fold the static shift mask INTO the bias: one add over the big
+            # (B_, h, n, n) tensor instead of two (the mask add otherwise
+            # costs a full extra HBM pass per shifted block)
             nw = attn_mask.shape[0]
-            attn = attn.reshape(b_ // nw, nw, h, n, n) + attn_mask[None, :, None].astype(attn.dtype)
+            combined = (bias[None] + attn_mask[:, None]).astype(attn.dtype)
+            attn = attn.reshape(b_ // nw, nw, h, n, n) + combined[None]
             attn = attn.reshape(b_, h, n, n)
+        else:
+            attn = attn + bias[None].astype(attn.dtype)
 
         attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,

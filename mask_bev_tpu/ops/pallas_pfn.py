@@ -8,15 +8,18 @@ version streams (B, N, C) buffers through HBM once per doubling step
 (~30 ms/batch-8 on v5e); here the stream is read from HBM exactly once and
 only the final per-row pooled features are written back (bf16).
 
-Tiles overlap by a halo on each side (>= K rows, rounded so every DMA slice
-is 128-lane aligned — Mosaic rejects narrow-lane sliced copies, so the
-streams are stored transposed (B, C, N) and transposed back in VMEM): every
-windowed reduction reaches at most K-1 rows, so the central T rows of each
-tile are exact. Equivalence with the XLA path is tested in
-``tests/test_pallas_pfn.py`` (interpret mode on CPU, compiled on TPU).
+Layout: everything ships as ONE transposed (B, 16, N) f32 array (point
+columns on sublanes, stream on lanes) — Mosaic rejects narrow-lane sliced
+DMAs, and cross-layout relayouts inside the kernel are expensive, so the
+stream is packed once in XLA (including the pillar id and kept flag as f32
+columns; pids < 2^24 are exact in f32) and transposed to row form once per
+tile. Tiles overlap by a lane-aligned halo >= K: every windowed reduction
+reaches at most K-1 rows, so the central T rows of each tile are exact.
 
-Semantics match mmdet3d's PillarFeatureNet via the stream formulation — see
-``ops/stream_pillars.py`` (reference ``mask_bev_encoders.py:69-92``).
+Equivalence with the XLA path is tested in ``tests/test_pallas_pfn.py``
+(interpret mode on CPU, compiled on TPU). Semantics match mmdet3d's
+PillarFeatureNet via the stream formulation — see ``ops/stream_pillars.py``
+(reference ``mask_bev_encoders.py:69-92``).
 """
 from __future__ import annotations
 
@@ -29,15 +32,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _shift_val(v, s: int, fill):
-    """out[i] = v[i+s] along axis 0 of a (R, C) value, fill at the edges."""
+def _roll_rows(v, s: int):
+    """Circular out[i] = v[(i+s) mod R] along axis 0 (sublane rotate —
+    Mosaic rejects pad+concat on vectors carrying lane offsets, and rotates
+    are cheaper anyway)."""
+    return pltpu.roll(v, (-s) % v.shape[0], 0)
+
+
+def _shift_pid(pid, s: int):
+    """out[i] = pid[i+s] with -1 at the edges. Only the pid shift needs the
+    edge fill: every VALUE shift is gated by pid equality, so circularly
+    wrapped garbage rows are masked out by the -1-filled pid."""
     if s == 0:
-        return v
-    r = v.shape[0]
-    pad = jnp.full((abs(s),) + v.shape[1:], fill, v.dtype)
-    if s > 0:
-        return jnp.concatenate([v[s:], pad], axis=0)
-    return jnp.concatenate([pad, v[:r + s]], axis=0)
+        return pid
+    r = pid.shape[0]
+    rolled = _roll_rows(pid, s)
+    rows = jax.lax.broadcasted_iota(jnp.int32, pid.shape, 0)
+    valid = (rows + s >= 0) & (rows + s < r)
+    return jnp.where(valid, rolled, -1.0)
 
 
 def _win_max(z, pid, k: int, symmetric: bool):
@@ -48,8 +60,8 @@ def _win_max(z, pid, k: int, symmetric: bool):
     while s < k:
         for sign in ((1, -1) if symmetric else (1,)):
             sh = s * sign
-            gate = _shift_val(pid, sh, -1) == pid
-            out = jnp.maximum(out, jnp.where(gate, _shift_val(out, sh, 0.0), z))
+            gate = _shift_pid(pid, sh) == pid
+            out = jnp.maximum(out, jnp.where(gate, _roll_rows(out, sh), z))
         s *= 2
     return out
 
@@ -59,37 +71,35 @@ def _win_sum_dir(w, pid, k: int, sign: int):
     s = 1
     while s < k:
         sh = s * sign
-        gate = _shift_val(pid, sh, -1) == pid
-        out = out + jnp.where(gate, _shift_val(out, sh, 0.0), 0.0)
+        gate = _shift_pid(pid, sh) == pid
+        out = out + jnp.where(gate, _roll_rows(out, sh), 0.0)
         s *= 2
     return out
 
 
-def _pfn_kernel(pts_hbm, pid_hbm, kept_hbm, *args,
+# packed column indices in the (B, 16, N) stream
+_PID_COL, _KEPT_COL = 8, 9
+
+
+def _pfn_kernel(pts_hbm, *args,
                 n_layers: int, k: int, point_dim: int, with_distance: bool,
                 tile: int, halo: int):
     """args = [W_i, g_i, b_i] * n_layers, out_ref, scratch refs."""
     weights = args[: 3 * n_layers]
     out_ref = args[3 * n_layers]
-    pts_s, pid_s, kept_s, sems = args[3 * n_layers + 1:]
+    pts_s, sem = args[3 * n_layers + 1:]
 
     b = pl.program_id(0)
     i = pl.program_id(1)
     span = tile + 2 * halo
-    # stream the tile (+halos) from HBM into VMEM; sources are transposed
-    # (B, C, N) so the sliced dim is the 128-aligned lane dim
-    cp0 = pltpu.make_async_copy(
-        pts_hbm.at[b, :, pl.ds(i * tile, span)], pts_s, sems.at[0])
-    cp1 = pltpu.make_async_copy(
-        pid_hbm.at[b, :, pl.ds(i * tile, span)], pid_s, sems.at[1])
-    cp2 = pltpu.make_async_copy(
-        kept_hbm.at[b, :, pl.ds(i * tile, span)], kept_s, sems.at[2])
-    cp0.start(); cp1.start(); cp2.start()
-    cp0.wait(); cp1.wait(); cp2.wait()
+    cp = pltpu.make_async_copy(
+        pts_hbm.at[b, :, pl.ds(i * tile, span)], pts_s, sem)
+    cp.start()
+    cp.wait()
 
-    p = jnp.transpose(pts_s[...], (1, 0))    # (span, 8): x y z i dist cx cy _
-    pid = jnp.transpose(pid_s[...], (1, 0))  # (span, 1) int32
-    kept = jnp.transpose(kept_s[...], (1, 0))  # (span, 1) f32 in {0, 1}
+    p = jnp.transpose(pts_s[...], (1, 0))  # (span, 16)
+    pid = p[:, _PID_COL:_PID_COL + 1]      # f32 ids (exact < 2^24)
+    kept = p[:, _KEPT_COL:_KEPT_COL + 1]   # {0.0, 1.0}
 
     xyz = p[:, 0:3]
     # cluster mean over kept rows: fwd + bwd windowed sums - self
@@ -128,35 +138,37 @@ def fused_stream_pfn(
     halo = ((k + 127) // 128) * 128  # >= k and lane-aligned DMA slices
     n_pad = ((n + tile - 1) // tile) * tile
 
-    # packed per-point columns: x y z inten dist cx cy pad
+    # packed per-point columns x y z inten dist cx cy _ pid kept + pad,
+    # built DIRECTLY in the transposed (B, 16, N) layout (stack on axis 1)
     f32 = jnp.float32
-    xyz = pts[..., :3].astype(f32)
-    inten = (pts[..., 3:4].astype(f32) if d >= 4
-             else jnp.zeros(pts.shape[:2] + (1,), f32))
-    dist = jnp.linalg.norm(xyz, axis=-1, keepdims=True)
+    x_c = pts[..., 0].astype(f32)
+    y_c = pts[..., 1].astype(f32)
+    z_c = pts[..., 2].astype(f32)
+    inten = (pts[..., 3].astype(f32) if d >= 4
+             else jnp.zeros(pts.shape[:2], f32))
+    dist = jnp.sqrt(x_c * x_c + y_c * y_c + z_c * z_c)
     pidf = pid.astype(f32)
     cx = (pid % grid_w).astype(f32) * voxel_size + x0 + 0.5 * voxel_size
     cy = jnp.floor(pidf / grid_w) * voxel_size + y0 + 0.5 * voxel_size
-    p8 = jnp.concatenate(
-        [xyz, inten, dist, cx[..., None], cy[..., None],
-         jnp.zeros(pts.shape[:2] + (1,), f32)], axis=-1)
-
-    def pad_t(a, fill):
-        """(B, N, C) -> transposed, padded (B, C, halo + n_pad + halo)."""
-        a = jnp.swapaxes(a, 1, 2)
-        return jnp.pad(a, [(0, 0), (0, 0), (halo, halo + (n_pad - n))],
-                       constant_values=fill)
-
-    p8_t = pad_t(p8, 0.0)
-    pid_t = pad_t(pid.astype(jnp.int32)[..., None], -1)
-    kept_t = pad_t(kept.astype(f32)[..., None], 0.0)
+    zero = jnp.zeros(pts.shape[:2], f32)
+    cols = [x_c, y_c, z_c, inten, dist, cx, cy, zero,
+            pidf, kept.astype(f32)] + [zero] * 6
+    p16 = jnp.stack(cols, axis=1)  # (B, 16, N)
+    p16 = jnp.pad(p16, [(0, 0), (0, 0), (halo, halo + (n_pad - n))],
+                  constant_values=0.0)
+    # padding rows must never join a real segment: pid col -> -1 there
+    npad_total = halo + n_pad + halo
+    lane = jnp.arange(npad_total)
+    in_real = (lane >= halo) & (lane < halo + n)
+    p16 = p16.at[:, _PID_COL, :].set(
+        jnp.where(in_real[None], p16[:, _PID_COL, :], -1.0))
 
     n_layers = len(weights)
     c_out = weights[-1][0].shape[1]
     span = tile + 2 * halo
 
     w_args = []
-    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)] * 3
+    in_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     for (w, g, bias) in weights:
         w_args += [w.astype(f32), g.astype(f32)[None, :],
                    bias.astype(f32)[None, :]]
@@ -174,13 +186,11 @@ def fused_stream_pfn(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, n_pad, c_out), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((8, span), f32),
-            pltpu.VMEM((1, span), jnp.int32),
-            pltpu.VMEM((1, span), f32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((16, span), f32),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(p8_t, pid_t, kept_t, *w_args)
+    )(p16, *w_args)
     return out[:, :n]
