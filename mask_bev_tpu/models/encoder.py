@@ -374,16 +374,18 @@ class MaskBevEncoder(nn.Module):
         var = jnp.square(pf32).sum(axis=(1, 2)) / elems - jnp.square(mean)
         from mask_bev_tpu.ops.pallas_canvas import pick_rows_per_block
 
-        if (self.use_pallas and not train
+        if (self.use_pallas
                 and jax.default_backend() == "tpu"
                 and pf.shape[-1] % 128 == 0  # table DMA needs full lanes
                 and pick_rows_per_block(h, w)):
-            from mask_bev_tpu.ops.pallas_canvas import canvas_from_table
+            # the kernel has a custom VJP (backward = row gather at cells),
+            # so BOTH train and eval take it on TPU
+            from mask_bev_tpu.ops.pallas_canvas import canvas_scatter
 
             # slot cell ids are ascending by construction (stream sort order)
             cells = jnp.where(
                 sp.valid, sp.coords[..., 0] * w + sp.coords[..., 1], h * w)
-            canvas = canvas_from_table(pf, cells, sp.valid, self.grid_hw)
+            canvas = canvas_scatter(pf, cells, sp.valid, self.grid_hw)
         else:
             canvas = scatter_to_canvas(pf, sp.coords, sp.valid, self.grid_hw)
         return PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")(

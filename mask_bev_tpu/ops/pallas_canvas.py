@@ -66,6 +66,35 @@ def pick_rows_per_block(h: int, w: int) -> int:
     return 0
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def canvas_scatter(table, cells, valid, grid_hw):
+    """Differentiable pillar-table -> canvas scatter (Pallas forward).
+
+    The backward pass is exact and trivial: each pillar row lands in one
+    canvas cell, so d_table = gather(d_canvas, cells) — the training step
+    gets the kernel's speed without a Pallas VJP.
+    """
+    return canvas_from_table(table, cells, valid, grid_hw)
+
+
+def _canvas_scatter_fwd(table, cells, valid, grid_hw):
+    return canvas_from_table(table, cells, valid, grid_hw), (cells, valid)
+
+
+def _canvas_scatter_bwd(grid_hw, res, g):
+    cells, valid = res
+    h, w = grid_hw
+    b = g.shape[0]
+    gf = g.reshape(b, h * w, g.shape[-1])
+    idx = jnp.clip(cells, 0, h * w - 1)
+    d_table = jnp.take_along_axis(gf, idx[..., None], axis=1)
+    d_table = jnp.where(valid[..., None], d_table, 0.0)
+    return d_table, None, None
+
+
+canvas_scatter.defvjp(_canvas_scatter_fwd, _canvas_scatter_bwd)
+
+
 def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
                       grid_hw, *, rows_per_block: int = 0,
                       interpret: bool = False) -> jax.Array:

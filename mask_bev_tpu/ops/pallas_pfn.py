@@ -117,6 +117,7 @@ def _pfn_kernel(pts_hbm, *args,
         y = jnp.dot(x, w[...], preferred_element_type=jnp.float32)
         z = jnp.maximum(y * g[...] + bias[...], 0.0) * kept
         last = li == n_layers - 1
+        # windowed ops stay f32: Mosaic's sublane rotate is 32-bit only
         pooled = _win_max(z, pid, k, symmetric=not last)
         x = pooled if last else jnp.concatenate([z, pooled], axis=1)
 

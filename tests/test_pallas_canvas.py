@@ -39,3 +39,28 @@ def test_canvas_kernel_all_invalid(rng):
         jnp.asarray(table), jnp.asarray(cells), jnp.asarray(valid), (h, w),
         rows_per_block=2, interpret=True))
     assert (got == 0).all()
+
+
+def test_canvas_scatter_vjp(rng):
+    """custom VJP: d_table must equal gather(d_canvas, cells)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mask_bev_tpu.ops.pallas_canvas import (
+        _canvas_scatter_bwd, canvas_from_table)
+
+    b, p, c, h, w = 1, 64, 8, 8, 8
+    cells = np.sort(rng.choice(h * w, size=p, replace=False)).astype(np.int32)
+    valid = cells < h * w - 4  # a few invalid slots
+    table = rng.normal(size=(b, p, c)).astype(np.float32)
+
+    g = rng.normal(size=(b, h, w, c)).astype(np.float32)
+    d_table, _, _ = _canvas_scatter_bwd(
+        (h, w), (jnp.asarray(cells)[None], jnp.asarray(valid)[None]),
+        jnp.asarray(g))
+    # numeric check: loss = sum(canvas * g); d table[j] = g at its cell
+    for j in range(p):
+        expect = (g.reshape(h * w, c)[cells[j]] if valid[j]
+                  else np.zeros(c, np.float32))
+        np.testing.assert_allclose(np.asarray(d_table)[0, j], expect,
+                                   rtol=1e-6)
