@@ -58,6 +58,7 @@ class MaskBev(nn.Module):
             drop_path_rate=c.backbone_drop_path_rate,
             use_abs_pos_embed=c.backbone_use_abs_emb,
             swap_dims=c.backbone_swap_dims,
+            use_pallas=c.use_pallas_attention,
         )
         self.pixel_decoder = PixelDecoder(
             feat_channels=c.head_feat_channels,

@@ -50,24 +50,57 @@ def _shift_attn_mask(hp: int, wp: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
+class DenseWithBias(nn.Module):
+    """Linear with setup-time params (same tree as nn.Dense: kernel, bias),
+    so fused kernels can read the weights without tracing the layer."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x):
+        return x @ self.kernel + self.bias
+
+
 class WindowMSA(nn.Module):
     """Multi-head self-attention within fixed windows + relative position bias.
 
     Behavior of reference ``swin.py:22-124`` (qkv bias on, scaled dot product,
-    truncated-normal-initialized bias table).
+    truncated-normal-initialized bias table). Setup-style so the fused
+    Pallas path can read qkv/proj weights and the bias table directly.
     """
 
     dim: int
     num_heads: int
     window: int
 
-    @nn.compact
+    def setup(self):
+        self.qkv = DenseWithBias(self.dim, 3 * self.dim)
+        self.proj = DenseWithBias(self.dim, self.dim)
+        self.rel_pos_bias_table = self.param(
+            "rel_pos_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * self.window - 1) ** 2, self.num_heads),
+        )
+
+    def rel_bias(self, n: int):
+        """(h, n, n) relative-position bias from the table."""
+        idx = _rel_pos_index(self.window, self.window)
+        return (self.rel_pos_bias_table[idx.reshape(-1)]
+                .reshape(n, n, self.num_heads).transpose(2, 0, 1))
+
     def __call__(self, x, attn_mask=None):
         # x: (B_, N, C) with N = window², B_ = B * nW
         b_, n, c = x.shape
         h = self.num_heads
         head_dim = c // h
-        qkv = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = self.qkv(x)
         qkv = qkv.reshape(b_, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum(
@@ -75,14 +108,7 @@ class WindowMSA(nn.Module):
             preferred_element_type=jnp.float32,
         )
 
-        table = self.param(
-            "rel_pos_bias_table",
-            nn.initializers.truncated_normal(0.02),
-            ((2 * self.window - 1) ** 2, h),
-        )
-        idx = _rel_pos_index(self.window, self.window)
-        bias = table[idx.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
-
+        bias = self.rel_bias(n)
         if attn_mask is not None:  # (nW, N, N)
             # fold the static shift mask INTO the bias: one add over the big
             # (B_, h, n, n) tensor instead of two (the mask add otherwise
@@ -98,20 +124,28 @@ class WindowMSA(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return self.proj(out)
 
 
 class ShiftWindowMSA(nn.Module):
     """Pad to window multiples, (optionally) cyclic-shift, window-partition,
-    attend, reverse. Reference ``swin.py:127-284``."""
+    attend, reverse. Reference ``swin.py:127-284``.
+
+    On TPU inference the attention itself runs as a fused Pallas kernel
+    (``ops/pallas_window_msa.py``) with the shift mask pre-folded into the
+    per-window bias; partitioning stays in XLA.
+    """
 
     dim: int
     num_heads: int
     window: int
     shift: int = 0
+    use_pallas: bool = True
 
-    @nn.compact
-    def __call__(self, x, hw: Tuple[int, int]):
+    def setup(self):
+        self.w_msa = WindowMSA(self.dim, self.num_heads, self.window)
+
+    def __call__(self, x, hw: Tuple[int, int], train: bool = True):
         h, w = hw
         b, _, c = x.shape
         win = self.window
@@ -130,11 +164,32 @@ class ShiftWindowMSA(nn.Module):
             mask = None
 
         nw_h, nw_w = hp // win, wp // win
+        nw = nw_h * nw_w
+        n = win * win
         xw = x.reshape(b, nw_h, win, nw_w, win, c).transpose(0, 1, 3, 2, 4, 5)
-        xw = xw.reshape(b * nw_h * nw_w, win * win, c)
-        xw = WindowMSA(self.dim, self.num_heads, win, name="w_msa")(xw, mask)
-        x = xw.reshape(b, nw_h, nw_w, win, win, c).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, hp, wp, c)
+
+        fuse = (self.use_pallas and not train
+                and jax.default_backend() == "tpu"
+                and c % self.num_heads == 0)
+        if fuse:
+            from mask_bev_tpu.ops.pallas_window_msa import fused_window_msa
+
+            bias = self.w_msa.rel_bias(n)[None]  # (1, h, n, n)
+            bias = jnp.broadcast_to(
+                bias, (nw, self.num_heads, n, n))
+            if mask is not None:
+                bias = bias + mask[:, None]
+            out = fused_window_msa(
+                xw.reshape(b, nw, n, c), bias,
+                self.w_msa.qkv.kernel, self.w_msa.qkv.bias,
+                self.w_msa.proj.kernel, self.w_msa.proj.bias,
+                num_heads=self.num_heads)
+            xw = out.reshape(b, nw_h, nw_w, win, win, c)
+        else:
+            yw = self.w_msa(xw.reshape(b * nw, n, c), mask)
+            xw = yw.reshape(b, nw_h, nw_w, win, win, c)
+
+        x = xw.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
 
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -156,6 +211,7 @@ class SwinBlock(nn.Module):
     shift: bool
     mlp_ratio: int = 4
     drop_path: float = 0.0
+    use_pallas: bool = True
 
     def _drop_path(self, y, train: bool):
         if not train or self.drop_path <= 0.0:
@@ -171,8 +227,9 @@ class SwinBlock(nn.Module):
         y = nn.LayerNorm(name="norm1")(x)
         y = ShiftWindowMSA(
             self.dim, self.num_heads, self.window,
-            shift=self.window // 2 if self.shift else 0, name="attn",
-        )(y, hw)
+            shift=self.window // 2 if self.shift else 0,
+            use_pallas=self.use_pallas, name="attn",
+        )(y, hw, train=train)
         x = shortcut + self._drop_path(y, train)
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(self.dim * self.mlp_ratio, name="ffn_1")(y)
@@ -225,6 +282,7 @@ class SwinTransformer(nn.Module):
     abs_pos_grid: Optional[Tuple[int, int]] = None  # pretrain grid; None = runtime grid
     swap_dims: bool = False
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    use_pallas: bool = True  # fused window-MSA kernel on TPU inference
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -269,6 +327,7 @@ class SwinTransformer(nn.Module):
                     dim, self.num_heads[i], self.window,
                     shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
                     drop_path=dpr[block_idx],
+                    use_pallas=self.use_pallas,
                     name=f"stage{i}_block{d}",
                 )(x, hw, train=train)
                 block_idx += 1

@@ -53,7 +53,8 @@ class Trainer:
         # mesh is CPU (virtual-device tests, dryruns) force the XLA path even
         # if a TPU backend is registered as the process default
         if not any(d.platform == "tpu" for d in self.mesh.devices.flat):
-            cfg = cfg.replace(use_pallas_encoder=False)
+            cfg = cfg.replace(use_pallas_encoder=False,
+                              use_pallas_attention=False)
         self.cfg = cfg
         self.workdir = pathlib.Path(workdir) / cfg.name
         self.logger = MetricLogger(str(self.workdir), cfg.name)
