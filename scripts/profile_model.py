@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--window", type=int, default=None,
                     help="override backbone_window_size (perf experiments)")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--trace", type=str, default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of a few forward "
+                         "steps into DIR (inspect with tensorboard or "
+                         "the trace-event json inside)")
     args = ap.parse_args()
 
     import jax
@@ -83,6 +87,15 @@ def main():
     t("encoder", enc, [(variables, s, dm) for s in staged])
     t("backbone", bck, [(variables, x) for x in xs])
     t("head", hed, [(variables, f) for f in fs])
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            for i in range(3):
+                x = enc(variables, staged[i % len(staged)], dm)
+                f = bck(variables, x)
+                o = hed(variables, f)
+            leaf_sum(o)
+        print(f"trace written to {args.trace}")
 
 
 if __name__ == "__main__":
