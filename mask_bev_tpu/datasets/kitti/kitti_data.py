@@ -121,7 +121,10 @@ class KittiMaskDataModule:
     """
 
     def __init__(self, root_path: str, cfg: MaskBevConfig,
-                 filter_difficulty: bool = False):
+                 filter_difficulty: bool = False,
+                 sample_transforms=()):
+        from mask_bev_tpu.utils.pipeline import Compose, Identity
+
         self.cfg = cfg
         self.root = pathlib.Path(root_path).expanduser()
         self.dataset = KittiDataset(str(self.root), "training")
@@ -132,14 +135,19 @@ class KittiMaskDataModule:
             remove_unseen=cfg.remove_unseen, min_points=cfg.min_num_points)
         self.augmentations = make_kitti_augmentation_list(cfg.augmentations)
         self.filter_difficulty = filter_difficulty
+        # user-extensible post-assembly hook, composed with the pipeline DSL
+        # (the reference wires its datamodules through the same combinators,
+        # ref kitti_data_module.py:83-105)
+        self.sample_transform = (
+            Compose(sample_transforms) if sample_transforms else Identity())
 
     def sample(self, idx: int, train: bool,
                rng: Optional[np.random.Generator] = None) -> Dict[str, np.ndarray]:
         frame = self.dataset[idx]
-        return frame_to_sample(
+        return self.sample_transform(frame_to_sample(
             frame, self.cfg, self.rasterizer,
             rng=rng, augmentations=self.augmentations if train else None,
-            filter_difficulty=self.filter_difficulty)
+            filter_difficulty=self.filter_difficulty))
 
     def _epoch(self, ids: List[int], train: bool, seed: int) -> Iterator[Dict]:
         from mask_bev_tpu.utils.workers import batched, sample_stream

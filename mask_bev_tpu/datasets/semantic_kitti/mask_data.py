@@ -194,15 +194,21 @@ class SemanticKittiMaskDataModule:
     """Train/val/test sample streams (CAR-only labels, like the reference)."""
 
     def __init__(self, root_path: str, cfg: MaskBevConfig,
-                 use_cache: bool = True):
+                 use_cache: bool = True, sample_transforms=()):
         from mask_bev_tpu.augmentations.semantic_kitti_augmentations import (
             make_semantic_kitti_augmentation_list)
+        from mask_bev_tpu.utils.pipeline import Compose, Identity
 
         self.cfg = cfg
         self.root = root_path
         self._use_cache = use_cache
         self.augmentations = make_semantic_kitti_augmentation_list(
             cfg.augmentations)
+        # user-extensible post-assembly hook, composed with the pipeline DSL
+        # (the reference wires its datamodules through the same combinators,
+        # ref semantic_kitti_mask_data_module.py:88-120)
+        self.sample_transform = (
+            Compose(sample_transforms) if sample_transforms else Identity())
         self._datasets: Dict[str, SemanticKittiMaskDataset] = {}
 
     def _mask_dataset(self, split: str) -> SemanticKittiMaskDataset:
@@ -225,9 +231,9 @@ class SemanticKittiMaskDataModule:
             np.random.default_rng(seed).shuffle(order)
 
         def sample(i: int, rng: np.random.Generator):
-            return mask_scan_to_sample(
+            return self.sample_transform(mask_scan_to_sample(
                 ds[i], self.cfg,
-                augmentations=self.augmentations if train else None, rng=rng)
+                augmentations=self.augmentations if train else None, rng=rng))
 
         stream = sample_stream(sample, order, seed,
                                num_workers=self.cfg.num_workers)

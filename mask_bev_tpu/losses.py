@@ -83,13 +83,13 @@ def match_layer(
     gt_masks: jax.Array,  # (B, G, H, W) float {0,1}
     gt_valid: jax.Array,  # (B, G) bool
     cfg: MaskBevConfig,
+    match_coords: Optional[jax.Array] = None,  # (B, P, 2) test injection
 ) -> MatchResult:
     """Hungarian matching for one head pass over the batch."""
     b = cls_logits.shape[0]
     num_pts = cfg.head_num_points
 
-    def per_image(key, cls_l, mask_l, labels, masks, valid):
-        pts = jax.random.uniform(key, (num_pts, 2))
+    def per_image(pts, cls_l, mask_l, labels, masks, valid):
         pred_pts = point_sample(mask_l, pts)  # (Q, P)
         gt_pts = point_sample(masks, pts)  # (G, P)
         scores = jax.nn.softmax(cls_l, axis=-1)
@@ -103,9 +103,12 @@ def match_layer(
         )
         return match(cost, valid.sum())
 
-    keys = jax.random.split(rng, b)
+    if match_coords is None:
+        keys = jax.random.split(rng, b)
+        match_coords = jax.vmap(
+            lambda k: jax.random.uniform(k, (num_pts, 2)))(keys)
     gt_of_query, matched = jax.vmap(per_image)(
-        keys, cls_logits, mask_logits, gt_labels,
+        match_coords, cls_logits, mask_logits, gt_labels,
         gt_masks.astype(mask_logits.dtype), gt_valid)
     return MatchResult(gt_of_query, matched)
 
@@ -120,13 +123,19 @@ def layer_losses(
     gt_valid: jax.Array,
     gt_heights: Optional[jax.Array],
     cfg: MaskBevConfig,
+    match_coords: Optional[jax.Array] = None,  # (B, P, 2) test injection
+    loss_coords: Optional[jax.Array] = None,  # (B*Q, P, 2) test injection
 ) -> Tuple[Dict[str, jax.Array], MatchResult]:
     """Losses for one head pass. All reductions use GLOBAL batch statistics."""
+    # loss math stays float32 regardless of compute_dtype: the point-sampled
+    # BCE/dice reductions (12544 points/query) lose precision in bf16
+    mask_logits = mask_logits.astype(jnp.float32)
     b, q = cls_logits.shape[:2]
     k = cfg.head_num_classes
     rng_match, rng_pts = jax.random.split(rng)
     mr = match_layer(
-        rng_match, cls_logits, mask_logits, gt_labels, gt_masks, gt_valid, cfg)
+        rng_match, cls_logits, mask_logits, gt_labels, gt_masks, gt_valid,
+        cfg, match_coords=match_coords)
 
     num_total_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
 
@@ -142,9 +151,12 @@ def layer_losses(
 
     # --- mask + dice on uncertainty-sampled points ---
     flat_masks = mask_logits.reshape(b * q, *mask_logits.shape[2:])
-    coords = uncertain_point_coords(
-        rng_pts, jax.lax.stop_gradient(flat_masks), cfg.head_num_points,
-        cfg.head_oversample_ratio, cfg.head_importance_sample_ratio)
+    if loss_coords is None:
+        coords = uncertain_point_coords(
+            rng_pts, jax.lax.stop_gradient(flat_masks), cfg.head_num_points,
+            cfg.head_oversample_ratio, cfg.head_importance_sample_ratio)
+    else:
+        coords = loss_coords
     pred_pts = jax.vmap(point_sample)(flat_masks, coords)  # (B*Q, P)
     # target mask per query: matched gt mask (zeros when unmatched; weighted out)
     tgt = jnp.take_along_axis(
@@ -154,7 +166,8 @@ def layer_losses(
     tgt_pts = jax.vmap(point_sample)(flat_tgt, coords)
     wmask = mr.matched.reshape(-1).astype(jnp.float32)  # (B*Q,)
 
-    p = cfg.head_num_points
+    p = pred_pts.shape[-1]  # actual sampled points (== cfg.head_num_points
+    # in production; injected coords may differ in tests)
     bce = (
         jax.nn.softplus(-pred_pts) * tgt_pts
         + jax.nn.softplus(pred_pts) * (1.0 - tgt_pts)

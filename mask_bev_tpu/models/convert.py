@@ -1,13 +1,27 @@
-"""Torch Swin checkpoint -> flax params conversion.
+"""Torch checkpoint -> flax params conversion.
 
-Parity with the reference's pretrained-checkpoint loading
-(``swin.py:674-743``): consume an mmdet/mmcls-style Swin ``state_dict``
-(numpy arrays; call ``torch.load`` + ``.numpy()`` upstream), remap to this
-framework's parameter tree, and bicubically resize relative-position bias
-tables (and the absolute position embedding) when window/grid sizes differ.
+Two entry points:
 
-Only the backbone is convertible — the reference likewise only loads
-pretrained weights into Swin.
+* :func:`convert_torch_swin` — parity with the reference's pretrained-
+  checkpoint loading (``swin.py:674-743``): consume an mmdet/mmcls-style
+  Swin ``state_dict`` (numpy arrays; call ``torch.load`` + ``.numpy()``
+  upstream), remap to this framework's parameter tree, and bicubically
+  resize relative-position bias tables (and the absolute position
+  embedding) when window/grid sizes differ.
+
+* :func:`convert_torch_maskbev` — a FULL reference ``MaskBevModule``
+  checkpoint (reference ``mask_bev_module.py:34-100``): PFN linears +
+  BatchNorms (``_encoder._voxel_encoder.pfn_layers.*``), the pseudo-image
+  LayerNorm (``_encoder._layer_norm``), the Swin backbone
+  (``_backbone._backbone.*``), and the Mask2Former query decoder + heads
+  (``_panoptic_head._panoptic_head.*``, mmdet naming: packed
+  ``in_proj_weight`` MultiheadAttention, ``norms.{0,1,2}``,
+  ``ffn.layers.0.0``/``ffn.layers.1``, ``transformer_decoder.post_norm``,
+  ``query_feat/query_embed/level_embed`` Embeddings, ``cls_embed``,
+  ``mask_embed.{0,2,4}``, optional ``height_embed``). The MSDeformAttn
+  pixel decoder is a documented architectural deviation (conv-FPN here,
+  SURVEY §2.2 N4) and has no weight mapping — its params keep their flax
+  initialization.
 """
 from __future__ import annotations
 
@@ -170,3 +184,137 @@ def convert_torch_swin(state_dict: Dict[str, np.ndarray],
             if name in bb:
                 put([name, "scale" if wb == "weight" else "bias"], v)
     return params
+
+
+def _as_mutable(tree):
+    return ({k: _as_mutable(v) for k, v in tree.items()}
+            if isinstance(tree, dict) or hasattr(tree, "items") else tree)
+
+
+def convert_torch_maskbev(state_dict: Dict[str, np.ndarray],
+                          variables: Dict) -> Dict:
+    """Reference ``MaskBevModule`` state_dict -> MaskBev flax variables.
+
+    ``variables`` is the full ``{"params": ..., "batch_stats": ...}`` tree
+    from ``MaskBev.init``; a converted deep copy is returned. Keys the
+    architecture deliberately lacks (pixel decoder) are skipped; every
+    consumed key is shape-checked against the flax tree.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = _as_mutable(variables["params"])
+    batch_stats = _as_mutable(variables.get("batch_stats", {}))
+    out = dict(variables)
+    out["params"] = params
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+
+    def put(tree, path, value, transform=None):
+        node = tree
+        for k in path[:-1]:
+            node = node[k]
+        if transform:
+            value = transform(value)
+        want = np.asarray(node[path[-1]]).shape
+        assert value.shape == want, (path, value.shape, want)
+        node[path[-1]] = value.astype(np.float32)
+
+    # --- encoder: PFN layers + pseudo-image LayerNorm ---
+    # reference: mmdet3d PillarFeatureNet PFNLayer = Linear(bias=False) +
+    # BatchNorm1d (mask_bev_encoders.py:70); LayerNorm([C, H, W], eps=1e-3)
+    # stored (C, H, W) -> ours (H, W, C) (mask_bev_encoders.py:75)
+    for key, v in sd.items():
+        if m := re.match(
+                r"_encoder\._voxel_encoder\.pfn_layers\.(\d+)\.(.+)", key):
+            i, rest = int(m.group(1)), m.group(2)
+            base = ["encoder", "pillar_feature_net", f"pfn_{i}"]
+            if rest == "linear.weight":
+                put(params, base + ["linear", "kernel"], v.T)
+            elif rest == "norm.weight":
+                put(params, base + ["norm", "scale"], v)
+            elif rest == "norm.bias":
+                put(params, base + ["norm", "bias"], v)
+            elif rest == "norm.running_mean":
+                put(batch_stats, base + ["norm", "mean"], v)
+            elif rest == "norm.running_var":
+                put(batch_stats, base + ["norm", "var"], v)
+        elif key == "_encoder._layer_norm.weight":
+            put(params, ["encoder", "norm", "scale"], v.transpose(1, 2, 0))
+        elif key == "_encoder._layer_norm.bias":
+            put(params, ["encoder", "norm", "bias"], v.transpose(1, 2, 0))
+
+    # --- backbone: delegate to the Swin converter ---
+    swin_sd = {k[len("_backbone._backbone."):]: v for k, v in sd.items()
+               if k.startswith("_backbone._backbone.")}
+    if swin_sd:
+        converted = convert_torch_swin(swin_sd, {"backbone": params["backbone"]})
+        params["backbone"] = converted["backbone"]
+
+    # --- decoder + per-layer heads ---
+    hp = "_panoptic_head._panoptic_head."
+    dec = params.get("decoder", {})
+
+    def dput(path, v, transform=None):
+        put(params, ["decoder"] + path, v, transform)
+
+    for key, v in sd.items():
+        if not key.startswith(hp):
+            continue
+        k = key[len(hp):]
+        if k == "query_feat.weight":
+            dput(["query_feat"], v)
+        elif k == "query_embed.weight":
+            dput(["query_embed"], v)
+        elif k == "level_embed.weight":
+            dput(["level_embed"], v)
+        elif k == "transformer_decoder.post_norm.weight":
+            dput(["heads", "decoder_norm", "scale"], v)
+        elif k == "transformer_decoder.post_norm.bias":
+            dput(["heads", "decoder_norm", "bias"], v)
+        elif k == "cls_embed.weight":
+            dput(["heads", "cls_embed", "kernel"], v.T)
+        elif k == "cls_embed.bias":
+            dput(["heads", "cls_embed", "bias"], v)
+        elif k == "height_embed.weight" and "height_embed" in dec.get("heads", {}):
+            dput(["heads", "height_embed", "kernel"], v.T)
+        elif k == "height_embed.bias" and "height_embed" in dec.get("heads", {}):
+            dput(["heads", "height_embed", "bias"], v)
+        elif m := re.match(r"mask_embed\.(\d+)\.(weight|bias)", k):
+            # torch Sequential(Linear, ReLU, Linear, ReLU, Linear): 0, 2, 4
+            idx = {0: "mask_mlp1", 2: "mask_mlp2", 4: "mask_mlp3"}[int(m.group(1))]
+            if m.group(2) == "weight":
+                dput(["heads", idx, "kernel"], v.T)
+            else:
+                dput(["heads", idx, "bias"], v)
+        elif m := re.match(
+                r"transformer_decoder\.layers\.(\d+)\.(.+)", k):
+            i, rest = int(m.group(1)), m.group(2)
+            for kind, ours in (("cross_attn", f"layer{i}_cross"),
+                               ("self_attn", f"layer{i}_self")):
+                c = None
+                if rest == f"{kind}.attn.in_proj_weight":
+                    c = v.shape[0] // 3
+                    for j, nm in enumerate("qkv"):
+                        dput([ours, nm, "kernel"], v[j * c:(j + 1) * c].T)
+                elif rest == f"{kind}.attn.in_proj_bias":
+                    c = v.shape[0] // 3
+                    for j, nm in enumerate("qkv"):
+                        dput([ours, nm, "bias"], v[j * c:(j + 1) * c])
+                elif rest == f"{kind}.attn.out_proj.weight":
+                    dput([ours, "out", "kernel"], v.T)
+                elif rest == f"{kind}.attn.out_proj.bias":
+                    dput([ours, "out", "bias"], v)
+            # mmdet Mask2FormerTransformerDecoderLayer norm order:
+            # norms.0 after cross-attn, norms.1 after self-attn, norms.2
+            # after FFN (mask2former_head.py:535-556 layer call)
+            if m2 := re.match(r"norms\.(\d)\.(weight|bias)", rest):
+                nm = f"layer{i}_norm{int(m2.group(1)) + 1}"
+                dput([nm, "scale" if m2.group(2) == "weight" else "bias"], v)
+            elif rest == "ffn.layers.0.0.weight":
+                dput([f"layer{i}_ffn", "fc1", "kernel"], v.T)
+            elif rest == "ffn.layers.0.0.bias":
+                dput([f"layer{i}_ffn", "fc1", "bias"], v)
+            elif rest == "ffn.layers.1.weight":
+                dput([f"layer{i}_ffn", "fc2", "kernel"], v.T)
+            elif rest == "ffn.layers.1.bias":
+                dput([f"layer{i}_ffn", "fc2", "bias"], v)
+    return out

@@ -181,8 +181,12 @@ class PillarFeatureNet(nn.Module):
         self.layers = layers
 
     def _can_fuse(self, train: bool) -> bool:
+        # the fused kernel packs exactly 4 raw point columns (x,y,z,intensity);
+        # wider point clouds must take the XLA stream path or the kernel would
+        # silently read computed decoration columns as raw features
         return (self.use_pallas and not train
                 and self.encoding_type == "vanilla"
+                and self.point_dim <= 4
                 and jax.default_backend() == "tpu")
 
     def __call__(self, sp: StreamPillars, train: bool = True):

@@ -114,7 +114,10 @@ def _make_attn_bias(mask_logits, target_hw):
     """
     b, q, _, _ = mask_logits.shape
     hl, wl = target_hw
-    m = jax.image.resize(mask_logits, (b, q, hl, wl), method="bilinear")
+    # antialias=False: the reference downsamples with F.interpolate(bilinear,
+    # align_corners=False), which never antialiases (mask2former_head.py:459)
+    m = jax.image.resize(mask_logits, (b, q, hl, wl), method="bilinear",
+                         antialias=False)
     blocked = jax.nn.sigmoid(m) < 0.5
     blocked = blocked.reshape(b, q, hl * wl)
     all_blocked = jnp.all(blocked, axis=-1, keepdims=True)

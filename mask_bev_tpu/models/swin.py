@@ -289,14 +289,16 @@ class SwinTransformer(nn.Module):
         b, h, w, c = x.shape
         p = self.patch_size
         stride = self.patch_stride or p
-        # pad to stride multiple (mmdet PatchEmbed 'corner' padding)
-        hp = int(np.ceil(h / stride)) * stride
-        wp = int(np.ceil(w / stride)) * stride
-        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        # mmdet PatchEmbed AdaptivePadding 'corner': pad bottom-right only,
+        # sized for kernel p at stride s (XLA's SAME pads symmetrically and
+        # would break checkpoint activation parity when stride != patch)
+        gh = int(np.ceil(h / stride))
+        gw = int(np.ceil(w / stride))
+        pad_h = max((gh - 1) * stride + p - h, 0)
+        pad_w = max((gw - 1) * stride + p - w, 0)
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
         x = nn.Conv(self.embed_dim, (p, p), strides=(stride, stride),
-                    padding="SAME" if stride != p else "VALID",
-                    name="patch_embed")(x)
-        gh, gw = hp // stride, wp // stride
+                    padding="VALID", name="patch_embed")(x)
         x = x.reshape(b, gh * gw, self.embed_dim)
         x = nn.LayerNorm(name="patch_norm")(x)
 

@@ -202,10 +202,14 @@ class Trainer:
             rng, sub, sub2 = jax.random.split(rng, 3)
             logs, outputs = self._eval_step(
                 self.state, self._device_batch(batch), sub)
-            losses.append(float(logs["loss"]))
+            # keep the loss ON DEVICE: a float() here would serialize the
+            # device stream through the host relay every batch; one stacked
+            # mean below costs a single sync per epoch
+            losses.append(logs["loss"])
             if with_metrics:
                 self.val_metrics.update(sub2, outputs, batch)
-        out = {"val_loss": float(np.mean(losses)) if losses else float("nan")}
+        out = {"val_loss": float(jnp.stack(losses).mean())
+               if losses else float("nan")}
         if with_metrics:
             out.update(
                 {f"val_{k}": v for k, v in self.val_metrics.compute().items()})

@@ -91,13 +91,18 @@ def make_layer_stats_fn(cfg: MaskBevConfig, evaluated_class: int = 0):
 class LayerMetricsBank:
     """One LayerMetrics per decoder output, with lazy device->host flushing."""
 
-    def __init__(self, cfg: MaskBevConfig, evaluated_class: int = 0):
+    def __init__(self, cfg: MaskBevConfig, evaluated_class: int = 0,
+                 max_pending_batches: int = 8):
         self.cfg = cfg
         self.evaluated_class = evaluated_class
         self.num_layers = cfg.num_decoder_outputs
         self.layers = {i: LayerMetrics.create() for i in range(self.num_layers)}
         self._stats_fn = make_layer_stats_fn(cfg, evaluated_class)
         self._pending: List = []
+        # bound device memory: each pending entry pins (B,Q,G) IoU matrices
+        # etc. in HBM; holding a whole epoch's worth risks OOM on long
+        # epochs, so flush to host every few batches (sync cost amortizes)
+        self._max_pending = max_pending_batches * self.num_layers
 
     def reset(self):
         for m in self.layers.values():
@@ -119,6 +124,8 @@ class LayerMetricsBank:
                 sub, outputs.cls_logits[i], outputs.mask_logits[i],
                 gt_labels, gt_masks, gt_valid)
             self._pending.append((i, stats, batch["gt_labels"], gt_real))
+        if len(self._pending) >= self._max_pending:
+            self._flush()
 
     def _flush(self) -> None:
         for i, stats, gt_labels_np, gt_real_np in self._pending:

@@ -21,6 +21,7 @@ from mask_bev_tpu.config import MaskBevConfig
 from mask_bev_tpu.losses import maskbev_loss
 from mask_bev_tpu.models.maskbev import MaskBev
 from mask_bev_tpu.train.optim import make_optimizer
+from mask_bev_tpu.utils.precision import cast_float_leaves, resolve_dtype
 
 
 class TrainState(struct.PyTreeNode):
@@ -59,14 +60,24 @@ def create_train_state(cfg: MaskBevConfig, rng: jax.Array,
 
 
 def make_train_step(model: MaskBev, cfg: MaskBevConfig):
+    # mixed-precision training (cfg.compute_dtype: bfloat16): master params
+    # stay float32 in the optimizer; the forward runs on a bf16 cast (grads
+    # flow back through the cast as f32), losses are computed in f32
+    # (losses.py casts logits), and batch_stats keep their f32 storage dtype.
+    dtype = resolve_dtype(cfg.compute_dtype)
+    mixed = dtype != jnp.float32
+
     def train_step(state: TrainState, batch: Dict[str, jax.Array],
                    rng: jax.Array):
         loss_rng, path_rng = jax.random.split(rng)
 
         def loss_fn(params):
+            if mixed:
+                params = cast_float_leaves(params, dtype)
+            pts = batch["points"].astype(dtype) if mixed else batch["points"]
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["points"], batch["point_mask"], train=True,
+                pts, batch["point_mask"], train=True,
                 mutable=["batch_stats"], rngs={"dropout": path_rng})
             total, logs = maskbev_loss(
                 loss_rng, out,
@@ -77,6 +88,9 @@ def make_train_step(model: MaskBev, cfg: MaskBevConfig):
 
         grads, (logs, new_bs, out) = jax.grad(loss_fn, has_aux=True)(
             state.params)
+        if mixed:  # keep running-stat storage dtype stable across steps
+            new_bs = jax.tree.map(
+                lambda a, b: a.astype(b.dtype), new_bs, state.batch_stats)
         state = state.apply_gradients(grads, new_bs)
         # outputs returned for the per-layer train metric bank (reference
         # computes metrics for all 10 layers on train too,
@@ -87,11 +101,17 @@ def make_train_step(model: MaskBev, cfg: MaskBevConfig):
 
 
 def make_eval_step(model: MaskBev, cfg: MaskBevConfig):
+    dtype = resolve_dtype(cfg.compute_dtype)
+    mixed = dtype != jnp.float32
+
     def eval_step(state: TrainState, batch: Dict[str, jax.Array],
                   rng: jax.Array):
+        params = (cast_float_leaves(state.params, dtype)
+                  if mixed else state.params)
+        pts = batch["points"].astype(dtype) if mixed else batch["points"]
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["points"], batch["point_mask"], train=False)
+            {"params": params, "batch_stats": state.batch_stats},
+            pts, batch["point_mask"], train=False)
         _, logs = maskbev_loss(
             rng, out,
             batch["gt_labels"], batch["gt_masks"], batch["gt_valid"],

@@ -2,9 +2,9 @@
 
 Rebuild of the reference's pipeline DSL (``utils/pipeline.py:8-202``):
 ``Lambda, Identity, Compose, Tupled, MapAll, Tee, MapNth, First, Second,
-Third, Bifunctor, Both, Inspect``. The numpy data modules in this framework
-compose plain functions instead, but the DSL is kept for API parity and for
-user pipelines.
+Third, Bifunctor, Both, Inspect``. The datamodules compose their
+user-supplied ``sample_transforms`` hooks through ``Compose``/``Identity``
+(``datasets/semantic_kitti/mask_data.py``, ``datasets/kitti/kitti_data.py``).
 """
 from __future__ import annotations
 

@@ -45,6 +45,22 @@ def sample_stream(
         for idx, sk in args:
             yield sample_fn(idx, np.random.default_rng(sk))
         return
+    # fork-safety hazard: os.fork() after a JAX backend has initialized is
+    # formally unsupported (children can deadlock on runtime locks) even if
+    # workers only run numpy. Warn so real-runtime hangs are diagnosable;
+    # callers should start their loaders before first device use when a
+    # hardware runtime is loaded, or set num_workers=0.
+    try:  # non-initializing probe of the backend cache (private, best-effort)
+        from jax._src import xla_bridge as _xb
+        if getattr(_xb, "_backends", None):
+            import warnings
+            warnings.warn(
+                "sample_stream(num_workers>0) forking after JAX backend "
+                "initialization; fork() is formally unsafe with a live "
+                "device runtime. Start loaders before first device use if "
+                "workers hang.", RuntimeWarning, stacklevel=2)
+    except ImportError:
+        pass
     ctx = mp.get_context("fork")
     pool = ctx.Pool(num_workers, initializer=_init_worker, initargs=(sample_fn,))
     try:
