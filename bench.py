@@ -52,9 +52,9 @@ def main():
 
     from mask_bev_tpu.utils.precision import apply_compute_dtype, resolve_dtype
 
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.asarray(pts[:1]), jnp.asarray(mask[:1]),
-        train=False)
+    # jitted init: eager init is op-at-a-time through the TPU relay
+    variables = jax.jit(lambda r, p, m: model.init(r, p, m, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(pts[:1]), jnp.asarray(mask[:1]))
     # compute_dtype=bfloat16: params + inputs bf16, matmul accumulation f32
     variables = apply_compute_dtype(variables, cfg)
     in_dtype = resolve_dtype(cfg.compute_dtype)

@@ -48,8 +48,11 @@ def create_train_state(cfg: MaskBevConfig, rng: jax.Array,
     dummy_pts = jnp.zeros((1, n, cfg.pc_point_dim))
     dummy_mask = jnp.zeros((1, n), bool)
     init_rng, drop_rng = jax.random.split(rng)
-    variables = model.init({"params": init_rng, "dropout": drop_rng},
-                           dummy_pts, dummy_mask, train=True)
+    # init under jit: eager flax init dispatches thousands of single ops,
+    # which is pathological through a remote-attached TPU relay (~30 ms RTT
+    # per op); one compiled program initializes in seconds
+    variables = jax.jit(lambda r, p, m: model.init(r, p, m, train=True))(
+        {"params": init_rng, "dropout": drop_rng}, dummy_pts, dummy_mask)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", core.FrozenDict())
     tx = make_optimizer(cfg, params, steps_per_epoch)

@@ -51,7 +51,8 @@ def main():
 
     pill = jax.jit(lambda p, m: pillarize_stream_batch(p, m, **geo))
     sp0 = pill(jnp.asarray(pts), jnp.asarray(mask))
-    variables = pfn.init(jax.random.PRNGKey(0), sp0, train=False)
+    variables = jax.jit(lambda r, s: pfn.init(r, s, train=False))(
+        jax.random.PRNGKey(0), sp0)
 
     def folded(vs):
         out = []

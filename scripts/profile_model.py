@@ -49,8 +49,8 @@ def main():
     mask = np.ones((B, n), bool)
     mask[:, 120_000:] = False
 
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pts[:1]),
-                           jnp.asarray(mask[:1]), train=False)
+    variables = jax.jit(lambda r, p, m: model.init(r, p, m, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(pts[:1]), jnp.asarray(mask[:1]))
     variables = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, variables)
