@@ -111,6 +111,9 @@ class MaskBevConfig:
     # on v5e (36.3 vs 34.6 ms/batch-8 backbone — XLA already schedules the
     # window matmuls well); kept as an experimental option, default off
     use_pallas_attention: bool = False
+    # whole-Swin-block fused kernel (LN1 -> windowed MSA -> LN2 -> MLP, one
+    # HBM round-trip per block) used on TPU inference
+    use_pallas_backbone: bool = True
     pseudo_image_norm: str = "full"  # 'full' = LayerNorm([C,H,W]) like reference; 'channel' = per-channel
 
     # Unknown YAML keys land here (reference swallows them via **kwargs)

@@ -59,6 +59,7 @@ class MaskBev(nn.Module):
             use_abs_pos_embed=c.backbone_use_abs_emb,
             swap_dims=c.backbone_swap_dims,
             use_pallas=c.use_pallas_attention,
+            use_pallas_block=c.use_pallas_backbone,
         )
         self.pixel_decoder = PixelDecoder(
             feat_channels=c.head_feat_channels,

@@ -68,6 +68,30 @@ class DenseWithBias(nn.Module):
         return x @ self.kernel + self.bias
 
 
+class LayerNormP(nn.Module):
+    """LayerNorm with setup-time params (same tree as nn.LayerNorm: scale,
+    bias) so the fused block kernel can read them directly. Matches flax
+    semantics: stats in float32, eps 1e-6, output in input dtype."""
+
+    features: int
+    eps: float = 1e-6
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+    def __call__(self, x):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        xc = x32 - mu
+        var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+        y = xc * jax.lax.rsqrt(var + self.eps)
+        y = y * self.scale.astype(jnp.float32) + self.bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
 class WindowMSA(nn.Module):
     """Multi-head self-attention within fixed windows + relative position bias.
 
@@ -203,6 +227,10 @@ class SwinBlock(nn.Module):
     ``drop_path`` is stochastic depth on both residual branches (timm/mmcv
     DropPath semantics: per-sample Bernoulli, rescaled by keep-prob), active
     only in training.
+
+    Setup-style so that :meth:`fused` (the whole-block Pallas kernel used on
+    TPU inference) can read the raw parameters; the parameter tree matches
+    the previous compact layout exactly (norm1/attn/norm2/ffn_1/ffn_2).
     """
 
     dim: int
@@ -213,6 +241,16 @@ class SwinBlock(nn.Module):
     drop_path: float = 0.0
     use_pallas: bool = True
 
+    def setup(self):
+        self.norm1 = LayerNormP(self.dim)
+        self.attn = ShiftWindowMSA(
+            self.dim, self.num_heads, self.window,
+            shift=self.window // 2 if self.shift else 0,
+            use_pallas=self.use_pallas)
+        self.norm2 = LayerNormP(self.dim)
+        self.ffn_1 = DenseWithBias(self.dim, self.dim * self.mlp_ratio)
+        self.ffn_2 = DenseWithBias(self.dim * self.mlp_ratio, self.dim)
+
     def _drop_path(self, y, train: bool):
         if not train or self.drop_path <= 0.0:
             return y
@@ -221,21 +259,43 @@ class SwinBlock(nn.Module):
         mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1))
         return y * mask.astype(y.dtype) / keep
 
-    @nn.compact
     def __call__(self, x, hw, train: bool = True):
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
-        y = ShiftWindowMSA(
-            self.dim, self.num_heads, self.window,
-            shift=self.window // 2 if self.shift else 0,
-            use_pallas=self.use_pallas, name="attn",
-        )(y, hw, train=train)
+        y = self.norm1(x)
+        y = self.attn(y, hw, train=train)
         x = shortcut + self._drop_path(y, train)
-        y = nn.LayerNorm(name="norm2")(x)
-        y = nn.Dense(self.dim * self.mlp_ratio, name="ffn_1")(y)
-        y = nn.gelu(y, approximate=False)  # torch nn.GELU is exact erf
-        y = nn.Dense(self.dim, name="ffn_2")(y)
+        y = self.norm2(x)
+        y = self.ffn_2(nn.gelu(self.ffn_1(y), approximate=False))
         return x + self._drop_path(y, train)
+
+    def fused(self, xg, hw: Tuple[int, int], hw_pad: Tuple[int, int],
+              roll_in: int, interpret: bool = False):
+        """Whole-block Pallas kernel on a flat padded (B, hp*wp, C) grid.
+
+        ``xg`` rows are stored rolled by ``roll_in``; returns
+        (out, roll_out) with ``out`` stored rolled by this block's shift
+        (chain into the next block; un-roll rows once at stage end —
+        columns are never rolled, the kernel folds the column shift into
+        its precomputed band bias).
+        """
+        from mask_bev_tpu.ops.pallas_swin_block import fused_swin_block
+
+        hp, wp = hw_pad
+        shift = self.window // 2 if self.shift else 0
+        if min(hp, wp) == self.window:
+            shift = 0  # window covers the grid (ref swin.py:180-184)
+        msa = self.attn.w_msa
+        out = fused_swin_block(
+            xg, msa.rel_bias(self.window * self.window),
+            self.norm1.scale, self.norm1.bias,
+            msa.qkv.kernel, msa.qkv.bias, msa.proj.kernel, msa.proj.bias,
+            self.norm2.scale, self.norm2.bias,
+            self.ffn_1.kernel, self.ffn_1.bias,
+            self.ffn_2.kernel, self.ffn_2.bias,
+            h=hw[0], w=hw[1], hp=hp, wp=wp, win=self.window,
+            num_heads=self.num_heads,
+            roll_in=roll_in, shift=shift, interpret=interpret)
+        return out, shift
 
 
 class PatchMerging(nn.Module):
@@ -282,7 +342,9 @@ class SwinTransformer(nn.Module):
     abs_pos_grid: Optional[Tuple[int, int]] = None  # pretrain grid; None = runtime grid
     swap_dims: bool = False
     out_indices: Sequence[int] = (0, 1, 2, 3)
-    use_pallas: bool = True  # fused window-MSA kernel on TPU inference
+    use_pallas: bool = True  # experimental window-MSA-only kernel (off by default upstream)
+    use_pallas_block: bool = True  # whole-block fused kernel on TPU inference
+    fused_interpret: bool = False  # run the fused path in interpret mode (tests)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -322,17 +384,59 @@ class SwinTransformer(nn.Module):
         # per-block stochastic-depth rates, linearly scaled to drop_path_rate
         dpr = [self.drop_path_rate * i / max(total_depth - 1, 1)
                for i in range(total_depth)]
+        fuse_blocks = (
+            self.use_pallas_block and not train
+            and not self.is_initializing()  # init traces f32 at full dims
+            and (self.fused_interpret or jax.default_backend() == "tpu"))
         block_idx = 0
         for i, depth in enumerate(self.depths):
+            blocks = []
             for d in range(depth):
-                x = SwinBlock(
+                blocks.append(SwinBlock(
                     dim, self.num_heads[i], self.window,
                     shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
                     drop_path=dpr[block_idx],
                     use_pallas=self.use_pallas,
-                    name=f"stage{i}_block{d}",
-                )(x, hw, train=train)
+                    name=f"stage{i}_block{d}"))
                 block_idx += 1
+            # compiled fusion only at production head dims (hd = 64k): tiny
+            # test configs (hd 12-32) would force Mosaic onto narrow-lane
+            # matmul layouts the kernel is not tuned (or validated) for.
+            # interpret mode (correctness tests) has no such constraint.
+            # The kernel holds all block weights resident in VMEM, so deep
+            # stages (dim 1536: ~57 MB bf16, ~113 MB f32 of weights) must
+            # clear a budget or fall back to the XLA blocks — those stages
+            # have few tokens anyway (16x16 at stride 32).
+            esize = 2 if x.dtype == jnp.bfloat16 else 4
+            weight_bytes = esize * (4 * dim * dim
+                                    + 2 * self.mlp_ratio * dim * dim)
+            if fuse_blocks and (self.fused_interpret
+                                or (dim // self.num_heads[i] % 64 == 0
+                                    and weight_bytes <= 64 * 1024 * 1024)):
+                # whole stage on the flat padded window grid: pad once, run
+                # every block as one fused kernel (row-roll state chained
+                # through the kernels' shifted band loads; column shifts
+                # live in the kernels' bias), un-roll rows + slice once
+                win = self.window
+                hh, ww = hw
+                hp = int(np.ceil(hh / win)) * win
+                wp = int(np.ceil(ww / win)) * win
+                xg = jnp.pad(
+                    x.reshape(b, hh, ww, dim),
+                    ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0)))
+                xg = xg.reshape(b, hp * wp, dim)
+                roll = 0
+                for blk in blocks:
+                    xg, roll = blk.fused(
+                        xg, hw, (hp, wp), roll,
+                        interpret=self.fused_interpret)
+                xg = xg.reshape(b, hp, wp, dim)
+                if roll:
+                    xg = jnp.roll(xg, roll, axis=1)
+                x = xg[:, :hh, :ww].reshape(b, hh * ww, dim)
+            else:
+                for blk in blocks:
+                    x = blk(x, hw, train=train)
             if i in self.out_indices:
                 y = nn.LayerNorm(name=f"out_norm{i}")(x)
                 outs.append(y.reshape(b, hw[0], hw[1], dim))  # (B, H, W, C)

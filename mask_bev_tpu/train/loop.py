@@ -54,7 +54,8 @@ class Trainer:
         # if a TPU backend is registered as the process default
         if not any(d.platform == "tpu" for d in self.mesh.devices.flat):
             cfg = cfg.replace(use_pallas_encoder=False,
-                              use_pallas_attention=False)
+                              use_pallas_attention=False,
+                              use_pallas_backbone=False)
         self.cfg = cfg
         self.workdir = pathlib.Path(workdir) / cfg.name
         self.logger = MetricLogger(str(self.workdir), cfg.name)
@@ -112,6 +113,14 @@ class Trainer:
 
     def _device_batch(self, batch: Dict[str, np.ndarray]):
         batch = {k: v for k, v in batch.items() if k != "num_instances"}
+        if jax.process_count() > 1:
+            # multi-host: each process loads only its local shard; assemble
+            # the global batch-sharded arrays (the reference's
+            # DistributedSampler + DDP boundary, train_mask_bev.py:92-96)
+            from mask_bev_tpu.parallel.mesh import local_batch_to_global
+
+            return local_batch_to_global(
+                {k: np.asarray(v) for k, v in batch.items()}, self.mesh)
         return shard_batch(
             {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
 
