@@ -12,8 +12,9 @@ set -euo pipefail
 CONFIG=${1:?usage: sbatch slurm_train.sh configs/<exp>.yml [data_root]}
 DATA_ROOT=${2:-data}
 
-# multi-host TPU slices: export these from your scheduler/TPU metadata
-#   JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID
-# (consumed via mask_bev_tpu.parallel.mesh.init_distributed)
+# multi-host TPU slices: one srun task per host; train_mask_bev.py calls
+# mask_bev_tpu.parallel.mesh.maybe_init_distributed_from_env, which reads
+# SLURM_NTASKS / SLURM_PROCID plus the coordinator below (task 0's host)
+export MASKBEV_COORDINATOR=${MASKBEV_COORDINATOR:-"$(scontrol show hostnames "$SLURM_JOB_NODELIST" | head -n1):8476"}
 
 srun python train_mask_bev.py --config "$CONFIG" --data-root "$DATA_ROOT" --train

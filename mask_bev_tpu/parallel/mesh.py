@@ -29,6 +29,33 @@ def init_distributed(coordinator: Optional[str] = None,
         jax.distributed.initialize(coordinator, num_processes, process_id)
 
 
+def maybe_init_distributed_from_env() -> bool:
+    """Wire :func:`init_distributed` from the environment; returns whether a
+    multi-process runtime was started.
+
+    Replaces the reference's DDP process-group setup (Lightning
+    ``strategy='ddp'``, ``train_mask_bev.py:92-96``): each host runs this
+    same program, the jax runtime stitches their local devices into one
+    global mesh. Env contract (explicit vars win over SLURM):
+
+    - ``MASKBEV_COORDINATOR`` (host:port), ``MASKBEV_NUM_PROCESSES``,
+      ``MASKBEV_PROCESS_ID``; or
+    - SLURM: ``SLURM_NTASKS`` > 1 with ``SLURM_PROCID`` and
+      ``MASKBEV_COORDINATOR`` pointing at task 0.
+    """
+    import os
+
+    n = os.environ.get("MASKBEV_NUM_PROCESSES") or os.environ.get(
+        "SLURM_NTASKS")
+    if not n or int(n) <= 1:
+        return False
+    pid = os.environ.get("MASKBEV_PROCESS_ID") or os.environ.get(
+        "SLURM_PROCID")
+    coord = os.environ.get("MASKBEV_COORDINATOR")
+    init_distributed(coord, int(n), int(pid) if pid is not None else None)
+    return True
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               axis: str = "data") -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

@@ -61,7 +61,12 @@ def main():
     args = parser.parse_args()
 
     from mask_bev_tpu.config import MaskBevConfig
+    from mask_bev_tpu.parallel.mesh import maybe_init_distributed_from_env
     from mask_bev_tpu.train.loop import Trainer
+
+    if maybe_init_distributed_from_env():
+        print(f"multi-host: process {jax.process_index()}"
+              f"/{jax.process_count()}")
 
     cfg = MaskBevConfig.from_yaml(args.config)
     if args.test and not args.train:
