@@ -252,9 +252,33 @@ def convert_torch_maskbev(state_dict: Dict[str, np.ndarray],
     # --- decoder + per-layer heads ---
     hp = "_panoptic_head._panoptic_head."
     dec = params.get("decoder", {})
+    # scanned decoder (default): layer params live under decoder/layers/
+    # lvl{l}_* with a stacked leading group axis (layer i = group i//3,
+    # level i%3); the unscanned fallback keeps flat layer{i}_* names
+    scanned = "layers" in dec
 
     def dput(path, v, transform=None):
         put(params, ["decoder"] + path, v, transform)
+
+    def lput(i, kind, leaf_path, v):
+        """Write torch decoder-layer i's param; handles both layouts."""
+        if not scanned:
+            node = params["decoder"][f"layer{i}_{kind}"]
+            for k in leaf_path[:-1]:
+                node = node[k]
+            want = np.asarray(node[leaf_path[-1]]).shape
+            assert v.shape == want, (i, kind, leaf_path, v.shape, want)
+            node[leaf_path[-1]] = v.astype(np.float32)
+            return
+        g, lvl = divmod(i, 3)
+        node = params["decoder"]["layers"][f"lvl{lvl}_{kind}"]
+        for k in leaf_path[:-1]:
+            node = node[k]
+        arr = np.array(node[leaf_path[-1]], dtype=np.float32)
+        assert v.shape == arr.shape[1:], (i, kind, leaf_path, v.shape,
+                                          arr.shape)
+        arr[g] = v
+        node[leaf_path[-1]] = arr
 
     for key, v in sd.items():
         if not key.startswith(hp):
@@ -288,33 +312,36 @@ def convert_torch_maskbev(state_dict: Dict[str, np.ndarray],
         elif m := re.match(
                 r"transformer_decoder\.layers\.(\d+)\.(.+)", k):
             i, rest = int(m.group(1)), m.group(2)
-            for kind, ours in (("cross_attn", f"layer{i}_cross"),
-                               ("self_attn", f"layer{i}_self")):
+            for kind, ours in (("cross_attn", "cross"),
+                               ("self_attn", "self")):
                 c = None
                 if rest == f"{kind}.attn.in_proj_weight":
                     c = v.shape[0] // 3
                     for j, nm in enumerate("qkv"):
-                        dput([ours, nm, "kernel"], v[j * c:(j + 1) * c].T)
+                        lput(i, ours, [nm, "kernel"],
+                             np.ascontiguousarray(v[j * c:(j + 1) * c].T))
                 elif rest == f"{kind}.attn.in_proj_bias":
                     c = v.shape[0] // 3
                     for j, nm in enumerate("qkv"):
-                        dput([ours, nm, "bias"], v[j * c:(j + 1) * c])
+                        lput(i, ours, [nm, "bias"], v[j * c:(j + 1) * c])
                 elif rest == f"{kind}.attn.out_proj.weight":
-                    dput([ours, "out", "kernel"], v.T)
+                    lput(i, ours, ["out", "kernel"],
+                         np.ascontiguousarray(v.T))
                 elif rest == f"{kind}.attn.out_proj.bias":
-                    dput([ours, "out", "bias"], v)
+                    lput(i, ours, ["out", "bias"], v)
             # mmdet Mask2FormerTransformerDecoderLayer norm order:
             # norms.0 after cross-attn, norms.1 after self-attn, norms.2
             # after FFN (mask2former_head.py:535-556 layer call)
             if m2 := re.match(r"norms\.(\d)\.(weight|bias)", rest):
-                nm = f"layer{i}_norm{int(m2.group(1)) + 1}"
-                dput([nm, "scale" if m2.group(2) == "weight" else "bias"], v)
+                nm = f"norm{int(m2.group(1)) + 1}"
+                lput(i, nm,
+                     ["scale" if m2.group(2) == "weight" else "bias"], v)
             elif rest == "ffn.layers.0.0.weight":
-                dput([f"layer{i}_ffn", "fc1", "kernel"], v.T)
+                lput(i, "ffn", ["fc1", "kernel"], np.ascontiguousarray(v.T))
             elif rest == "ffn.layers.0.0.bias":
-                dput([f"layer{i}_ffn", "fc1", "bias"], v)
+                lput(i, "ffn", ["fc1", "bias"], v)
             elif rest == "ffn.layers.1.weight":
-                dput([f"layer{i}_ffn", "fc2", "kernel"], v.T)
+                lput(i, "ffn", ["fc2", "kernel"], np.ascontiguousarray(v.T))
             elif rest == "ffn.layers.1.bias":
-                dput([f"layer{i}_ffn", "fc2", "bias"], v)
+                lput(i, "ffn", ["fc2", "bias"], v)
     return out

@@ -17,16 +17,25 @@ Rebuilds the behavior of the reference's vendored head (reference
 TPU-first: everything static-shape; attention masks are additive big-negative
 biases so the whole decoder is one fused XLA graph; outputs stack to
 (L+1, B, Q, ...) tensors.
+
+Compile time: the 9 layers are ``nn.scan``-ned as 3 groups of one
+level-triple each (the three levels have different memory shapes, so one
+scan step = layers 3g, 3g+1, 3g+2) — XLA traces/compiles ONE group body
+instead of 9 layers + 9 head passes. The shared prediction heads cannot
+live inside the scan (scan stacks every param of its target), so their
+parameters are read off the bound ``MaskHeads`` module and passed through
+the scan as broadcast inputs to a pure function.
 """
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from mask_bev_tpu.models.positional import sine_positional_encoding_2d
+from mask_bev_tpu.models.swin import DenseWithBias, LayerNormP
 
 _NEG = -1e9
 
@@ -77,8 +86,42 @@ class FFN(nn.Module):
         return y
 
 
+def _heads_apply(hp: Dict, query, mask_features, predict_height: bool):
+    """Per-layer prediction heads as a pure function of the param tree.
+
+    ``hp`` is the ``MaskHeads`` parameter tree (see
+    :meth:`MaskHeads.param_tree`); shared across all L+1 head passes
+    (ref ``_forward_head`` :428-459), including the ones inside the
+    layer-group scan where flax submodule sharing is unavailable.
+    """
+    x32 = query.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    x = (xc * jax.lax.rsqrt(var + 1e-6)
+         * hp["decoder_norm"]["scale"] + hp["decoder_norm"]["bias"])
+    x = x.astype(query.dtype)
+    cls_logits = x @ hp["cls_embed"]["kernel"] + hp["cls_embed"]["bias"]
+    y = nn.relu(x @ hp["mask_mlp1"]["kernel"] + hp["mask_mlp1"]["bias"])
+    y = nn.relu(y @ hp["mask_mlp2"]["kernel"] + hp["mask_mlp2"]["bias"])
+    mask_embed = y @ hp["mask_mlp3"]["kernel"] + hp["mask_mlp3"]["bias"]
+    mask_logits = jnp.einsum(
+        "bqc,bhwc->bqhw", mask_embed, mask_features,
+        preferred_element_type=jnp.float32,
+    ).astype(query.dtype)
+    height_logits = None
+    if predict_height:
+        height_logits = (x @ hp["height_embed"]["kernel"]
+                         + hp["height_embed"]["bias"])
+    return cls_logits, mask_logits, height_logits
+
+
 class MaskHeads(nn.Module):
-    """Per-layer prediction heads, shared across layers (ref :428-459)."""
+    """Per-layer prediction heads, shared across layers (ref :428-459).
+
+    Setup-style param holders so :meth:`param_tree` can hand the (traced)
+    parameter values into the scanned layer groups as broadcast inputs.
+    """
 
     num_classes: int
     feat_channels: int
@@ -86,24 +129,37 @@ class MaskHeads(nn.Module):
     predict_height: bool = False
     num_height_bins: int = 12
 
-    @nn.compact
-    def __call__(self, query, mask_features):
-        # query: (B, Q, C); mask_features: (B, H, W, Cout) [NHWC]
-        x = nn.LayerNorm(name="decoder_norm")(query)
-        cls_logits = nn.Dense(self.num_classes + 1, name="cls_embed")(x)
-        y = nn.Dense(self.feat_channels, name="mask_mlp1")(x)
-        y = nn.relu(y)
-        y = nn.Dense(self.feat_channels, name="mask_mlp2")(y)
-        y = nn.relu(y)
-        mask_embed = nn.Dense(self.out_channels, name="mask_mlp3")(y)
-        mask_logits = jnp.einsum(
-            "bqc,bhwc->bqhw", mask_embed, mask_features,
-            preferred_element_type=jnp.float32,
-        ).astype(query.dtype)
-        height_logits = None
+    def setup(self):
+        c = self.feat_channels
+        self.decoder_norm = LayerNormP(c)
+        self.cls_embed = DenseWithBias(c, self.num_classes + 1)
+        self.mask_mlp1 = DenseWithBias(c, self.feat_channels)
+        self.mask_mlp2 = DenseWithBias(self.feat_channels, self.feat_channels)
+        self.mask_mlp3 = DenseWithBias(self.feat_channels, self.out_channels)
         if self.predict_height:
-            height_logits = nn.Dense(self.num_height_bins, name="height_embed")(x)
-        return cls_logits, mask_logits, height_logits
+            self.height_embed = DenseWithBias(c, self.num_height_bins)
+
+    def param_tree(self) -> Dict:
+        hp = {
+            "decoder_norm": {"scale": self.decoder_norm.scale,
+                             "bias": self.decoder_norm.bias},
+            "cls_embed": {"kernel": self.cls_embed.kernel,
+                          "bias": self.cls_embed.bias},
+            "mask_mlp1": {"kernel": self.mask_mlp1.kernel,
+                          "bias": self.mask_mlp1.bias},
+            "mask_mlp2": {"kernel": self.mask_mlp2.kernel,
+                          "bias": self.mask_mlp2.bias},
+            "mask_mlp3": {"kernel": self.mask_mlp3.kernel,
+                          "bias": self.mask_mlp3.bias},
+        }
+        if self.predict_height:
+            hp["height_embed"] = {"kernel": self.height_embed.kernel,
+                                  "bias": self.height_embed.bias}
+        return hp
+
+    def __call__(self, query, mask_features):
+        return _heads_apply(self.param_tree(), query, mask_features,
+                            self.predict_height)
 
 
 def _make_attn_bias(mask_logits, target_hw):
@@ -126,6 +182,45 @@ def _make_attn_bias(mask_logits, target_hw):
     return jax.lax.stop_gradient(bias)
 
 
+class DecoderLayerGroup(nn.Module):
+    """One scan step: decoder layers for memory levels 0..nl-1 (= layers
+    3g, 3g+1, 3g+2 of the reference's flat list, level cycling i % 3)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int
+    hws: Tuple[Tuple[int, int], ...]
+    predict_height: bool = False
+
+    @nn.compact
+    def __call__(self, carry, mems, pes, qpos, mask_features, head_params):
+        out, mask_l = carry
+        c = self.dim
+        ys_cls, ys_mask, ys_h = [], [], []
+        for lvl in range(len(self.hws)):
+            bias = _make_attn_bias(mask_l, self.hws[lvl])
+            # masked cross-attention (queries attend to foreground pixels)
+            y = MultiHeadAttention(c, self.num_heads, name=f"lvl{lvl}_cross")(
+                out + qpos, mems[lvl] + pes[lvl], mems[lvl], attn_bias=bias)
+            out = nn.LayerNorm(name=f"lvl{lvl}_norm1")(out + y)
+            # self-attention among queries
+            y = MultiHeadAttention(c, self.num_heads, name=f"lvl{lvl}_self")(
+                out + qpos, out + qpos, out)
+            out = nn.LayerNorm(name=f"lvl{lvl}_norm2")(out + y)
+            y = FFN(c, self.ffn_dim, name=f"lvl{lvl}_ffn")(out)
+            out = nn.LayerNorm(name=f"lvl{lvl}_norm3")(out + y)
+
+            cls_l, mask_l, h_l = _heads_apply(
+                head_params, out, mask_features, self.predict_height)
+            ys_cls.append(cls_l)
+            ys_mask.append(mask_l)
+            ys_h.append(h_l)
+        ys = (jnp.stack(ys_cls), jnp.stack(ys_mask))
+        if self.predict_height:
+            ys = ys + (jnp.stack(ys_h),)
+        return (out, mask_l), ys
+
+
 class Mask2FormerDecoder(nn.Module):
     """Queries x 3-level memories -> per-layer (cls, mask[, height]) logits."""
 
@@ -138,6 +233,10 @@ class Mask2FormerDecoder(nn.Module):
     ffn_dim: int = 2048
     predict_height: bool = False
     num_height_bins: int = 12
+    # scan the layer triples (3x less decoder tracing/compile); falls back
+    # to the unrolled python loop when num_layers isn't a multiple of the
+    # level count (different param tree: layer{i}_* vs layers/lvl{l}_*)
+    scan_layers: bool = True
 
     @nn.compact
     def __call__(self, mask_features, memories: Sequence[jax.Array],
@@ -173,10 +272,36 @@ class Mask2FormerDecoder(nn.Module):
         out = jnp.broadcast_to(query_feat[None], (b, self.num_queries, c))
         qpos = query_embed[None]
 
-        cls_list, mask_list, height_list = [], [], []
-        cls_l, mask_l, height_l = heads(out, mask_features)
-        cls_list.append(cls_l); mask_list.append(mask_l); height_list.append(height_l)
+        cls_0, mask_0, height_0 = heads(out, mask_features)
 
+        if self.scan_layers and self.num_layers % nl == 0:
+            groups = self.num_layers // nl
+            scanned = nn.scan(
+                DecoderLayerGroup,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,
+                out_axes=0,
+                length=groups,
+            )(dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
+              hws=tuple(hws), predict_height=self.predict_height,
+              name="layers")
+            (_, _), ys = scanned(
+                (out, mask_0), tuple(mems), tuple(pes), qpos, mask_features,
+                heads.param_tree())
+            # (G, nl, ...) -> (L, ...), layer index = 3g + lvl
+            cls_s = ys[0].reshape((self.num_layers,) + ys[0].shape[2:])
+            mask_s = ys[1].reshape((self.num_layers,) + ys[1].shape[2:])
+            cls_all = jnp.concatenate([cls_0[None], cls_s])
+            mask_all = jnp.concatenate([mask_0[None], mask_s])
+            if self.predict_height:
+                h_s = ys[2].reshape((self.num_layers,) + ys[2].shape[2:])
+                height_all = jnp.concatenate([height_0[None], h_s])
+            return DecoderOutputs(cls_all, mask_all,
+                                  height_all if self.predict_height else None)
+
+        cls_list, mask_list, height_list = [cls_0], [mask_0], [height_0]
+        mask_l = mask_0
         for i in range(self.num_layers):
             lvl = i % nl
             bias = _make_attn_bias(mask_l, hws[lvl])
@@ -192,10 +317,13 @@ class Mask2FormerDecoder(nn.Module):
             out = nn.LayerNorm(name=f"layer{i}_norm3")(out + y)
 
             cls_l, mask_l, height_l = heads(out, mask_features)
-            cls_list.append(cls_l); mask_list.append(mask_l); height_list.append(height_l)
+            cls_list.append(cls_l)
+            mask_list.append(mask_l)
+            height_list.append(height_l)
 
         return DecoderOutputs(
             cls_logits=jnp.stack(cls_list),
             mask_logits=jnp.stack(mask_list),
-            height_logits=(jnp.stack(height_list) if self.predict_height else None),
+            height_logits=(jnp.stack(height_list) if self.predict_height
+                           else None),
         )
