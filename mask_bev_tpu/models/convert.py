@@ -65,12 +65,15 @@ def convert_torch_swin(state_dict: Dict[str, np.ndarray],
     params = copy.deepcopy(dict(flax_params))
     bb = params[prefix] = dict(params[prefix])
 
-    def put(dst_path, value):
+    def put(dst_path, value, g=None):
+        """Write a leaf; ``g`` indexes the stacked leading axis of an
+        nn.scan'd stage (``stage{i}_pairs`` layout)."""
         node = bb
         for k in dst_path[:-1]:
             node[k] = dict(node[k])
             node = node[k]
-        want = np.asarray(node[dst_path[-1]]).shape
+        cur = np.asarray(node[dst_path[-1]])
+        want = cur.shape if g is None else cur.shape[1:]
         value = np.asarray(value)
         if "rel_pos_bias_table" in dst_path[-1] and value.shape != want:
             value = _resize_bias_table(value, want[0])
@@ -85,8 +88,13 @@ def convert_torch_swin(state_dict: Dict[str, np.ndarray],
                 value = np.asarray(jax.image.resize(value, want, "bicubic"))
             except Exception:
                 pass
-        assert value.shape == want, (dst_path, value.shape, want)
-        node[dst_path[-1]] = value.astype(np.float32)
+        assert value.shape == want, (dst_path, value.shape, want, g)
+        if g is None:
+            node[dst_path[-1]] = value.astype(np.float32)
+        else:
+            arr = np.array(cur, dtype=np.float32)
+            arr[g] = value
+            node[dst_path[-1]] = arr
 
     # mmdet's PatchMerging samples with nn.Unfold: 4C channels ordered
     # channel-major with positions (0,0),(0,1),(1,0),(1,1) inside each
@@ -129,38 +137,42 @@ def convert_torch_swin(state_dict: Dict[str, np.ndarray],
             put(["patch_norm", "bias"], v)
         elif key == "absolute_pos_embed":
             put(["absolute_pos_embed"], v)
-        # stage blocks
+        # stage blocks (flat layer{d} names, or nn.scan'd stage{i}_pairs
+        # with (block d) -> (group d//2, child block{d%2}) stacked layout)
         elif m := re.match(r"stages\.(\d+)\.blocks\.(\d+)\.(.+)", key):
             i, d, rest = int(m.group(1)), int(m.group(2)), m.group(3)
-            blk = f"stage{i}_block{d}"
-            if blk not in bb:
+            if f"stage{i}_block{d}" in bb:
+                pre, g = [f"stage{i}_block{d}"], None
+            elif f"stage{i}_pairs" in bb:
+                pre, g = [f"stage{i}_pairs", f"block{d % 2}"], d // 2
+            else:
                 continue
             if rest == "norm1.weight":
-                put([blk, "norm1", "scale"], v)
+                put(pre + ["norm1", "scale"], v, g)
             elif rest == "norm1.bias":
-                put([blk, "norm1", "bias"], v)
+                put(pre + ["norm1", "bias"], v, g)
             elif rest == "norm2.weight":
-                put([blk, "norm2", "scale"], v)
+                put(pre + ["norm2", "scale"], v, g)
             elif rest == "norm2.bias":
-                put([blk, "norm2", "bias"], v)
+                put(pre + ["norm2", "bias"], v, g)
             elif rest == "attn.relative_position_bias_table":
-                put([blk, "attn", "w_msa", "rel_pos_bias_table"], v)
+                put(pre + ["attn", "w_msa", "rel_pos_bias_table"], v, g)
             elif rest == "attn.qkv.weight":
-                put([blk, "attn", "w_msa", "qkv", "kernel"], v.T)
+                put(pre + ["attn", "w_msa", "qkv", "kernel"], v.T, g)
             elif rest == "attn.qkv.bias":
-                put([blk, "attn", "w_msa", "qkv", "bias"], v)
+                put(pre + ["attn", "w_msa", "qkv", "bias"], v, g)
             elif rest == "attn.proj.weight":
-                put([blk, "attn", "w_msa", "proj", "kernel"], v.T)
+                put(pre + ["attn", "w_msa", "proj", "kernel"], v.T, g)
             elif rest == "attn.proj.bias":
-                put([blk, "attn", "w_msa", "proj", "bias"], v)
+                put(pre + ["attn", "w_msa", "proj", "bias"], v, g)
             elif rest in ("ffn.layers.0.0.weight", "mlp.fc1.weight"):
-                put([blk, "ffn_1", "kernel"], v.T)
+                put(pre + ["ffn_1", "kernel"], v.T, g)
             elif rest in ("ffn.layers.0.0.bias", "mlp.fc1.bias"):
-                put([blk, "ffn_1", "bias"], v)
+                put(pre + ["ffn_1", "bias"], v, g)
             elif rest in ("ffn.layers.1.weight", "mlp.fc2.weight"):
-                put([blk, "ffn_2", "kernel"], v.T)
+                put(pre + ["ffn_2", "kernel"], v.T, g)
             elif rest in ("ffn.layers.1.bias", "mlp.fc2.bias"):
-                put([blk, "ffn_2", "bias"], v)
+                put(pre + ["ffn_2", "bias"], v, g)
         # patch merging
         elif m := re.match(r"stages\.(\d+)\.downsample\.(.+)", key):
             i, rest = int(m.group(1)), m.group(2)

@@ -251,22 +251,25 @@ class SwinBlock(nn.Module):
         self.ffn_1 = DenseWithBias(self.dim, self.dim * self.mlp_ratio)
         self.ffn_2 = DenseWithBias(self.dim * self.mlp_ratio, self.dim)
 
-    def _drop_path(self, y, train: bool):
-        if not train or self.drop_path <= 0.0:
+    def _drop_path(self, y, train: bool, dp=None):
+        # dp: traced per-block rate when the block runs under nn.scan
+        # (rates differ across scan steps, so they ride in as scan inputs);
+        # None -> the static attribute.
+        if not train or (dp is None and self.drop_path <= 0.0):
             return y
-        keep = 1.0 - self.drop_path
+        keep = 1.0 - (self.drop_path if dp is None else dp)
         rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1))
         return y * mask.astype(y.dtype) / keep
 
-    def __call__(self, x, hw, train: bool = True):
+    def __call__(self, x, hw, train: bool = True, drop_path=None):
         shortcut = x
         y = self.norm1(x)
         y = self.attn(y, hw, train=train)
-        x = shortcut + self._drop_path(y, train)
+        x = shortcut + self._drop_path(y, train, drop_path)
         y = self.norm2(x)
         y = self.ffn_2(nn.gelu(self.ffn_1(y), approximate=False))
-        return x + self._drop_path(y, train)
+        return x + self._drop_path(y, train, drop_path)
 
     def fused(self, xg, hw: Tuple[int, int], hw_pad: Tuple[int, int],
               roll_in: int, interpret: bool = False):
@@ -296,6 +299,56 @@ class SwinBlock(nn.Module):
             num_heads=self.num_heads,
             roll_in=roll_in, shift=shift, interpret=interpret)
         return out, shift
+
+
+class SwinBlockPair(nn.Module):
+    """One ``nn.scan`` step: an (unshifted, shifted) block pair.
+
+    Deep stages re-trace/re-compile identical block pairs (stage 2 has
+    three); scanning them compiles ONE pair body. Both execution paths live
+    in the body under the same stacked param layout (``stage{i}_pairs/
+    block{0,1}``): the XLA blocks (train/CPU) and the fused Pallas kernels
+    (TPU eval). For the fused path the carry enters and leaves each step
+    stored row-rolled by ``win//2`` (the shifted block's roll state), so
+    every step is identical and the parent rolls once before/after the
+    scan.
+    """
+
+    dim: int
+    num_heads: int
+    window: int
+    mlp_ratio: int
+    hw: Tuple[int, int]
+    use_pallas: bool = True
+    fused: bool = False
+    fused_interpret: bool = False
+    train: bool = True
+
+    def setup(self):
+        self.block0 = SwinBlock(
+            self.dim, self.num_heads, self.window, shift=False,
+            mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas)
+        self.block1 = SwinBlock(
+            self.dim, self.num_heads, self.window, shift=True,
+            mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas)
+
+    def __call__(self, x, dps):
+        if self.fused:
+            win = self.window
+            hh, ww = self.hw
+            hp = int(np.ceil(hh / win)) * win
+            wp = int(np.ceil(ww / win)) * win
+            s_pair = 0 if min(hp, wp) == win else win // 2
+            xg, r = self.block0.fused(
+                x, self.hw, (hp, wp), s_pair,
+                interpret=self.fused_interpret)
+            xg, r = self.block1.fused(
+                xg, self.hw, (hp, wp), r, interpret=self.fused_interpret)
+            assert r == s_pair, (r, s_pair)  # uniform carry roll state
+            return xg, None
+        x = self.block0(x, self.hw, train=self.train, drop_path=dps[0])
+        x = self.block1(x, self.hw, train=self.train, drop_path=dps[1])
+        return x, None
 
 
 class PatchMerging(nn.Module):
@@ -345,6 +398,9 @@ class SwinTransformer(nn.Module):
     use_pallas: bool = True  # experimental window-MSA-only kernel (off by default upstream)
     use_pallas_block: bool = True  # whole-block fused kernel on TPU inference
     fused_interpret: bool = False  # run the fused path in interpret mode (tests)
+    # nn.scan deep stages' (unshifted, shifted) block pairs: one compiled
+    # pair body instead of `depth` traced blocks (stacked param layout)
+    scan_pairs: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -390,15 +446,6 @@ class SwinTransformer(nn.Module):
             and (self.fused_interpret or jax.default_backend() == "tpu"))
         block_idx = 0
         for i, depth in enumerate(self.depths):
-            blocks = []
-            for d in range(depth):
-                blocks.append(SwinBlock(
-                    dim, self.num_heads[i], self.window,
-                    shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
-                    drop_path=dpr[block_idx],
-                    use_pallas=self.use_pallas,
-                    name=f"stage{i}_block{d}"))
-                block_idx += 1
             # compiled fusion only at production head dims (hd = 64k): tiny
             # test configs (hd 12-32) would force Mosaic onto narrow-lane
             # matmul layouts the kernel is not tuned (or validated) for.
@@ -410,17 +457,71 @@ class SwinTransformer(nn.Module):
             esize = 2 if x.dtype == jnp.bfloat16 else 4
             weight_bytes = esize * (4 * dim * dim
                                     + 2 * self.mlp_ratio * dim * dim)
-            if fuse_blocks and (self.fused_interpret
-                                or (dim // self.num_heads[i] % 64 == 0
-                                    and weight_bytes <= 64 * 1024 * 1024)):
+            stage_fused = fuse_blocks and (
+                self.fused_interpret
+                or (dim // self.num_heads[i] % 64 == 0
+                    and weight_bytes <= 64 * 1024 * 1024))
+
+            win = self.window
+            hh, ww = hw
+            hp = int(np.ceil(hh / win)) * win
+            wp = int(np.ceil(ww / win)) * win
+
+            if self.scan_pairs and depth % 2 == 0 and depth >= 4:
+                # deep stage: scan over (unshifted, shifted) block pairs —
+                # one traced/compiled pair body instead of depth blocks
+                # (params stacked under stage{i}_pairs/block{0,1})
+                dps = jnp.asarray(
+                    dpr[block_idx:block_idx + depth],
+                    jnp.float32).reshape(depth // 2, 2)
+                block_idx += depth
+                pair = nn.scan(
+                    SwinBlockPair,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True, "dropout": True},
+                    in_axes=0, out_axes=0, length=depth // 2,
+                )(dim=dim, num_heads=self.num_heads[i], window=win,
+                  mlp_ratio=self.mlp_ratio, hw=hw,
+                  use_pallas=self.use_pallas, fused=stage_fused,
+                  fused_interpret=self.fused_interpret, train=train,
+                  name=f"stage{i}_pairs")
+                if stage_fused:
+                    s_pair = 0 if min(hp, wp) == win else win // 2
+                    xg = jnp.pad(
+                        x.reshape(b, hh, ww, dim),
+                        ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0)))
+                    # pre-roll rows to the scan's uniform carry state
+                    if s_pair:
+                        xg = jnp.roll(xg, -s_pair, axis=1)
+                    xg, _ = pair(xg.reshape(b, hp * wp, dim), dps)
+                    xg = xg.reshape(b, hp, wp, dim)
+                    if s_pair:
+                        xg = jnp.roll(xg, s_pair, axis=1)
+                    x = xg[:, :hh, :ww].reshape(b, hh * ww, dim)
+                else:
+                    x, _ = pair(x, dps)
+                if i in self.out_indices:
+                    y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                    outs.append(y.reshape(b, hw[0], hw[1], dim))
+                if i < len(self.depths) - 1:
+                    x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)
+                    dim *= 2
+                continue
+
+            blocks = []
+            for d in range(depth):
+                blocks.append(SwinBlock(
+                    dim, self.num_heads[i], self.window,
+                    shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
+                    drop_path=dpr[block_idx],
+                    use_pallas=self.use_pallas,
+                    name=f"stage{i}_block{d}"))
+                block_idx += 1
+            if stage_fused:
                 # whole stage on the flat padded window grid: pad once, run
                 # every block as one fused kernel (row-roll state chained
                 # through the kernels' shifted band loads; column shifts
                 # live in the kernels' bias), un-roll rows + slice once
-                win = self.window
-                hh, ww = hw
-                hp = int(np.ceil(hh / win)) * win
-                wp = int(np.ceil(ww / win)) * win
                 xg = jnp.pad(
                     x.reshape(b, hh, ww, dim),
                     ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0)))

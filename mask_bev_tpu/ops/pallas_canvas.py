@@ -1,6 +1,6 @@
 """Pillar-table -> BEV canvas scatter as a Pallas kernel (one-hot matmul).
 
-The XLA path (``models/encoder.py:scatter_to_canvas``) costs ~24 ms/batch-8
+The XLA path (``models/encoder.py:scatter_to_canvas``) costs ~19 ms/batch-8
 on v5e: an HBM scatter of P scalar slot ids plus a 250k-row HBM gather. The
 TPU-native formulation exploits two facts: (1) pillar slots are sorted by
 cell id (from the stream sort), so the pillars of one canvas row form a
@@ -11,10 +11,16 @@ output is ``M @ table_chunk`` where ``M[r, j] = (cells[j] == cell r)`` is a
 stores, no gathers; HBM traffic is one aligned table chunk per canvas row
 plus the canvas write itself.
 
+The chunk is processed in sub-chunks of 384 slots, each gated on actually
+containing occupied slots (``lo``/``hi`` from the per-block searchsorted):
+a worst-case block can hold rows*W pillars, but a typical 2-canvas-row
+block holds ~130, so the selection matmul usually runs 1 of 3 sub-chunks —
+this alone is ~2x on the kernel.
+
 Mosaic constraints shaping the kernel: manual DMA slices must start at
-lane/sublane-aligned offsets (hinted via ``pl.multiple_of``), so chunks are
-fetched from the 128-aligned floor of the row's first slot with 128 extra
-columns of slack.
+lane/sublane-aligned offsets (hinted via ``pl.multiple_of``), so sub-chunks
+are fetched from the 128-aligned floor of the row's first slot with 128
+extra columns of slack.
 """
 from __future__ import annotations
 
@@ -27,34 +33,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _canvas_kernel(lo_ref, table_hbm, cells_hbm, out_ref, tbl_s, cells_s,
-                   sems, *, rows_per_block: int, width: int, chunk: int):
+                   acc, sems, *, rows_per_block: int, width: int, sub: int,
+                   nsub: int):
     b = pl.program_id(0)
     blk = pl.program_id(1)
     rw = rows_per_block * width
     base = blk * rw
 
     lo = lo_ref[b, blk]
+    hi = lo_ref[b, blk + 1]
     start = pl.multiple_of((lo // 128) * 128, 128)
 
-    cp0 = pltpu.make_async_copy(
-        table_hbm.at[b, pl.ds(start, chunk)], tbl_s, sems.at[0])
-    cp1 = pltpu.make_async_copy(
-        cells_hbm.at[b, :, pl.ds(start, chunk)], cells_s, sems.at[1])
-    cp0.start(); cp1.start()
-    cp0.wait(); cp1.wait()
+    # DMAs run unconditionally (sub-chunk traffic is ~0.1 ms/batch total);
+    # only the COMPUTE is gated below — the matmul is the expensive part,
+    # and DMA-inside-cond is not supported in interpret mode anyway
+    cps = []
+    for s in range(nsub):
+        off = pl.multiple_of(start + s * sub, 128)
+        cp0 = pltpu.make_async_copy(
+            table_hbm.at[b, pl.ds(off, sub)], tbl_s.at[s], sems.at[0, s])
+        cp1 = pltpu.make_async_copy(
+            cells_hbm.at[b, :, pl.ds(off, sub)], cells_s.at[s],
+            sems.at[1, s])
+        cp0.start(); cp1.start()
+        cps.append((cp0, cp1))
 
-    # selection matrix: M[r, j] = 1 iff slot j's cell is block cell r
-    cell_rows = base + jax.lax.broadcasted_iota(jnp.int32, (rw, chunk), 0)
-    m = (cells_s[...] == cell_rows).astype(tbl_s.dtype)  # (rw, chunk)
-    # 0/1 selection matmul. For f32 tables request HIGHEST so each selected
-    # value passes through exactly (default TPU f32 matmul rounds through
-    # bf16 passes); bf16 tables are native MXU and Mosaic rejects HIGHEST
-    # for them ("Bad lhs type").
-    precision = (jax.lax.Precision.HIGHEST
-                 if tbl_s.dtype == jnp.float32 else None)
-    out_ref[0] = jnp.dot(m, tbl_s[...],
-                         preferred_element_type=jnp.float32,
-                         precision=precision).astype(out_ref.dtype)
+    acc[...] = jnp.zeros(acc.shape, acc.dtype)
+    cell_rows = base + jax.lax.broadcasted_iota(jnp.int32, (rw, sub), 0)
+    for s in range(nsub):
+        cps[s][0].wait()
+        cps[s][1].wait()
+
+        # sub-chunk s covers slots [start + s*sub, start + (s+1)*sub); all
+        # occupied slots of this block lie in [lo, hi) and start >= lo-127,
+        # so sub-chunks at or past hi contribute nothing — skip their
+        # matmul entirely (typical blocks run 1 of nsub sub-chunks)
+        @pl.when(start + s * sub < hi)
+        def _(s=s):
+            # selection matrix: M[r, j] = 1 iff slot j's cell is block cell r
+            m = (cells_s[s] == cell_rows).astype(tbl_s.dtype)  # (rw, sub)
+            # 0/1 selection matmul. For f32 tables request HIGHEST so each
+            # selected value passes through exactly (default TPU f32 matmul
+            # rounds through bf16 passes); bf16 tables are native MXU and
+            # Mosaic rejects HIGHEST for them ("Bad lhs type").
+            precision = (jax.lax.Precision.HIGHEST
+                         if tbl_s.dtype == jnp.float32 else None)
+            acc[...] += jnp.dot(m, tbl_s[s],
+                                preferred_element_type=jnp.float32,
+                                precision=precision)
+    out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
 def pick_rows_per_block(h: int, w: int) -> int:
@@ -103,7 +130,7 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
     ``cells`` must be sorted ascending per sample (the stream pillarizer's
     slot order); invalid slots get the H*W sentinel. Each block covers
     ``rows_per_block`` canvas rows; its occupied slots lie within
-    [row_start, row_start + rows*W + 128) of the chunk fetched from the
+    [row_start, row_start + rows*W + 128) of the sub-chunks fetched from the
     aligned floor of the range.
     """
     h, w = grid_hw
@@ -115,31 +142,34 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
     assert (rows_per_block * w) % 8 == 0, (rows_per_block, w)
     nblocks = h // rows_per_block
     rw = rows_per_block * w
-    # chunk must cover rw occupied slots + up to 127 alignment slack
-    chunk = ((rw + 128 + 127) // 128) * 128
+    # sub-chunks must cover rw occupied slots + up to 127 alignment slack
+    sub = 384
+    nsub = (rw + 128 + sub - 1) // sub
 
     cells = jnp.where(valid, cells, h * w).astype(jnp.int32)
-    boundaries = (jnp.arange(nblocks, dtype=jnp.int32) * rw)
+    # lo[blk] = first slot of block blk; lo[nblocks] = end of valid slots
+    boundaries = (jnp.arange(nblocks + 1, dtype=jnp.int32) * rw)
     lo = jax.vmap(lambda cl: jnp.searchsorted(cl, boundaries, side="left")
                   .astype(jnp.int32))(cells)
 
-    # pad slots so chunk DMAs never run off the end; sentinel never matches.
-    # cells ship as (B, 1, P+chunk): integer-indexing the batch dim keeps the
-    # sliced dims (1, chunk) lane-aligned for the DMA (Mosaic rejects
-    # sublane slices of size 1)
-    pad_cols = [(0, 0), (0, chunk)]
+    # pad slots so sub-chunk DMAs never run off the end; sentinel never
+    # matches. cells ship as (B, 1, P+pad): integer-indexing the batch dim
+    # keeps the sliced dims (1, sub) lane-aligned for the DMA (Mosaic
+    # rejects sublane slices of size 1)
+    pad = nsub * sub
+    pad_cols = [(0, 0), (0, pad)]
     table_p = jnp.pad(table, pad_cols + [(0, 0)])
     cells_p = jnp.pad(cells, pad_cols, constant_values=h * w + 1)[:, None, :]
 
     kernel = functools.partial(
-        _canvas_kernel, rows_per_block=rows_per_block, width=w, chunk=chunk)
+        _canvas_kernel, rows_per_block=rows_per_block, width=w, sub=sub,
+        nsub=nsub)
     out = pl.pallas_call(
         kernel,
         grid=(b, nblocks),
         in_specs=[
-            # full (B, nblocks) scalar array in SMEM (block dims must equal
-            # the array dims or be 8/128-divisible)
-            pl.BlockSpec((b, nblocks), lambda bi, blk: (0, 0),
+            # full (B, nblocks+1) scalar array in SMEM
+            pl.BlockSpec((b, nblocks + 1), lambda bi, blk: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -149,9 +179,10 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), table.dtype),
         scratch_shapes=[
-            pltpu.VMEM((chunk, c), table.dtype),
-            pltpu.VMEM((1, chunk), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nsub, sub, c), table.dtype),
+            pltpu.VMEM((nsub, 1, sub), jnp.int32),
+            pltpu.VMEM((rw, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, nsub)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

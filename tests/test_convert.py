@@ -75,3 +75,46 @@ def test_bias_table_resize():
     assert out.shape == (81, 1)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(_resize_bias_table(t, 25), t)
+
+
+def test_convert_scanned_stage_matches_unrolled(rng):
+    """Converting into the nn.scan'd (stacked) stage layout must place each
+    torch block at the right (group, half) slot: both layouts, fed the same
+    state_dict, must produce identical outputs."""
+    kw = dict(embed_dim=16, depths=(4,), num_heads=(2,), window=3,
+              out_indices=(0,), use_pallas=False, use_pallas_block=False)
+    sd = {}
+    for d in range(4):
+        b = f"stages.0.blocks.{d}"
+        dim = 16
+        for nm in ("norm1", "norm2"):
+            sd[f"{b}.{nm}.weight"] = rng.normal(size=(dim,)).astype(np.float32)
+            sd[f"{b}.{nm}.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+        sd[f"{b}.attn.w_msa.relative_position_bias_table"] = rng.normal(
+            size=(25, 2)).astype(np.float32)
+        sd[f"{b}.attn.w_msa.qkv.weight"] = rng.normal(
+            size=(3 * dim, dim)).astype(np.float32)
+        sd[f"{b}.attn.w_msa.qkv.bias"] = rng.normal(
+            size=(3 * dim,)).astype(np.float32)
+        sd[f"{b}.attn.w_msa.proj.weight"] = rng.normal(
+            size=(dim, dim)).astype(np.float32)
+        sd[f"{b}.attn.w_msa.proj.bias"] = rng.normal(
+            size=(dim,)).astype(np.float32)
+        sd[f"{b}.ffn.layers.0.0.weight"] = rng.normal(
+            size=(4 * dim, dim)).astype(np.float32)
+        sd[f"{b}.ffn.layers.0.0.bias"] = rng.normal(
+            size=(4 * dim,)).astype(np.float32)
+        sd[f"{b}.ffn.layers.1.weight"] = rng.normal(
+            size=(dim, 4 * dim)).astype(np.float32)
+        sd[f"{b}.ffn.layers.1.bias"] = rng.normal(
+            size=(dim,)).astype(np.float32)
+
+    x = jnp.asarray(rng.normal(size=(1, 24, 24, 4)), jnp.float32)
+    outs = {}
+    for scan in (False, True):
+        m = SwinTransformer(scan_pairs=scan, **kw)
+        variables = m.init(jax.random.PRNGKey(0), x, train=False)
+        conv = convert_torch_swin(sd, {"backbone": variables["params"]})
+        outs[scan] = np.asarray(
+            m.apply({"params": conv["backbone"]}, x, train=False)[0])
+    np.testing.assert_allclose(outs[True], outs[False], rtol=1e-5, atol=1e-5)
