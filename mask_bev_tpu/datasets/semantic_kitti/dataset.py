@@ -79,6 +79,20 @@ class SemanticKittiLazySequence:
         return positions_from_poses(self.poses, self.calib.velo_to_cam)
 
 
+@dataclasses.dataclass
+class SemanticKittiSequence:
+    """Eager sequence: every scan of the sequence loaded into RAM
+    (reference ``semantic_kitti_dataset.py:397`` eager variant)."""
+
+    seq_number: int
+    scans: List["SemanticKittiScan"]
+    poses: np.ndarray
+    calib: SemanticKittiCalib
+
+    def positions(self) -> np.ndarray:
+        return positions_from_poses(self.poses, self.calib.velo_to_cam)
+
+
 def load_poses(path: pathlib.Path) -> np.ndarray:
     flat = np.loadtxt(path).reshape(-1, 3, 4)
     n = flat.shape[0]
@@ -204,17 +218,23 @@ class SemanticKittiDataset:
 
 
 class SemanticKittiSequenceDataset:
-    """Sequence-level view (lazy only — the eager variant of the reference
-    loads a whole sequence of scans into RAM and is never used by training)."""
+    """Sequence-level view, lazy (default) or eager (reference
+    ``semantic_kitti_dataset.py:397-433``: eager loads a whole sequence of
+    scans into RAM; training always uses the lazy view)."""
 
-    def __init__(self, root_path: str, split: str, **kw):
+    def __init__(self, root_path: str, split: str, lazy: bool = True, **kw):
         self.dataset = SemanticKittiDataset(root_path, split, **kw)
         self.root_path = self.dataset.root
+        self._lazy = lazy
 
     def __len__(self) -> int:
         return self.dataset.len_seq()
 
-    def __getitem__(self, seq_idx: int) -> SemanticKittiLazySequence:
+    def __getitem__(self, seq_idx: int):
+        return (self.getitem_lazy(seq_idx) if self._lazy
+                else self.getitem_eager(seq_idx))
+
+    def getitem_lazy(self, seq_idx: int) -> SemanticKittiLazySequence:
         indices = self.dataset.get_sequence_scan_idx(seq_idx)
         if not indices:
             raise ValueError("Empty sequence")
@@ -222,9 +242,24 @@ class SemanticKittiSequenceDataset:
         return SemanticKittiLazySequence(
             first.seq_number, indices, self.dataset.poses[seq_idx], first.calib)
 
-    def load_scan_number_in_sequence(self, seq: SemanticKittiLazySequence,
-                                     scan_number: int) -> SemanticKittiScan:
+    def getitem_eager(self, seq_idx: int) -> SemanticKittiSequence:
+        indices = self.dataset.get_sequence_scan_idx(seq_idx)
+        if not indices:
+            raise ValueError("Empty sequence")
+        scans = [self.dataset[i] for i in indices]
+        return SemanticKittiSequence(
+            scans[0].seq_number, scans, self.dataset.poses[seq_idx],
+            scans[0].calib)
+
+    def load_scan_number_in_sequence(self, seq, scan_number: int
+                                     ) -> SemanticKittiScan:
         return self.dataset.get_in_sequence(seq.seq_number, scan_number)
 
     def load_scan_numbers_in_sequence(self, seq, scan_numbers) -> Iterator:
         return (self.load_scan_number_in_sequence(seq, n) for n in scan_numbers)
+
+    def load_scan_index(self, scan_idx: int) -> SemanticKittiScan:
+        return self.dataset[scan_idx]
+
+    def load_scan_indices(self, scan_indices) -> Iterator:
+        return (self.dataset[i] for i in scan_indices)

@@ -132,27 +132,30 @@ class LayerMetricsBank:
             probs, matched, gt_of_query, ious, iou_matched = (
                 np.asarray(s) for s in stats)
             m = self.layers[i]
-            b, q = probs.shape[:2]
+            b = probs.shape[0]
             nc = self.cfg.head_num_classes
+            # cls-AP and mIoU pool globally over queries — update them with
+            # one whole-batch call each instead of b python iterations
+            labels = np.where(
+                matched, np.take_along_axis(gt_labels_np, gt_of_query, 1), nc)
+            m.cls_ap.update(
+                probs[..., self.evaluated_class].ravel(),
+                (labels == self.evaluated_class).astype(np.int64).ravel())
+            if matched.any():
+                m.miou.update(iou_matched[matched])
+
+            # COCO segm mAP matches per image: keep the per-sample loop but
+            # with all selectors precomputed batch-wide
+            pred_cls = probs.argmax(-1)
+            pred_score = probs.max(-1)
+            keep = pred_cls != self.evaluated_class
             for s in range(b):
-                y_scores = probs[s, :, self.evaluated_class]
-                labels = np.full(q, nc, np.int64)
-                mk = matched[s]
-                labels[mk] = gt_labels_np[s][gt_of_query[s][mk]]
-                y_true = (labels == self.evaluated_class).astype(np.int64)
-                m.cls_ap.update(y_scores, y_true)
-
-                if mk.any():
-                    m.miou.update(iou_matched[s][mk])
-
-                pred_cls = probs[s].argmax(-1)
-                keep = pred_cls != self.evaluated_class
-                real_gt = gt_real_np[s]
+                ks, gs = keep[s], gt_real_np[s]
                 m.segm_map.update_from_ious(
-                    pred_scores=probs[s].max(-1)[keep],
-                    pred_labels=pred_cls[keep],
-                    gt_labels=gt_labels_np[s][real_gt],
-                    ious=ious[s][keep][:, real_gt])
+                    pred_scores=pred_score[s][ks],
+                    pred_labels=pred_cls[s][ks],
+                    gt_labels=gt_labels_np[s][gs],
+                    ious=ious[s][ks][:, gs])
         self._pending.clear()
 
     def compute(self) -> Dict[str, float]:

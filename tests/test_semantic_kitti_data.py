@@ -118,6 +118,26 @@ def test_scene_accumulation_aligns_instances(sk_root):
     assert np.abs(car[:, 1].mean() - 5.0) < 1.0
 
 
+def test_eager_sequence_matches_lazy(sk_root):
+    lazy_ds = SemanticKittiSequenceDataset(str(sk_root), "train",
+                                           included_labels=[RawLabel.CAR])
+    eager_ds = SemanticKittiSequenceDataset(str(sk_root), "train", lazy=False,
+                                            included_labels=[RawLabel.CAR])
+    lazy = lazy_ds[0]
+    eager = eager_ds[0]
+    assert eager.seq_number == lazy.seq_number
+    assert len(eager.scans) == len(lazy.scan_indices) == N_SCANS
+    np.testing.assert_allclose(eager.positions(), lazy.positions())
+    for i, scan in enumerate(eager.scans):
+        ref = lazy_ds.load_scan_number_in_sequence(lazy, i)
+        np.testing.assert_array_equal(scan.point_cloud, ref.point_cloud)
+        np.testing.assert_array_equal(scan.inst_label, ref.inst_label)
+    # scan-index loaders shared by both views
+    one = eager_ds.load_scan_index(1)
+    assert one.scan_number == 1
+    assert len(list(eager_ds.load_scan_indices([0, 2]))) == 2
+
+
 def test_rasterizer_mask(sk_root):
     ds = SemanticKittiSequenceDataset(str(sk_root), "train",
                                       included_labels=[RawLabel.CAR])
