@@ -201,15 +201,22 @@ class MaskMeanAveragePrecision:
         ious = inter / (union + _EPS)
         self.update_from_ious(pred_scores, pred_labels, gt_labels, ious)
 
-    def _ap_at(self, threshold: float) -> float:
-        """Mean over classes of AP at one IoU threshold (greedy matching in
-        score order per image, like torchmetrics/COCOeval)."""
+    def _match_all(self) -> dict:
+        """Greedy score-order matching for every class at ALL IoU thresholds
+        in one pass (like torchmetrics/COCOeval): each detection takes the
+        available same-class gt of highest IoU >= threshold (ties -> last gt
+        index, matching the original scan order). Vectorized over the
+        threshold axis — the per-detection loop is the only python loop, so
+        an epoch-end compute stays O(total detections) host-side.
+
+        Returns {cls: (confs (D,), tps (T, D), total_gt)}.
+        """
+        ts = self.IOU_THRESHOLDS
+        nt = len(ts)
         classes = sorted(set(np.concatenate(
             [img["gl"] for img in self._images] or [np.array([], np.int64)]
         ).tolist()))
-        if not classes:
-            return 0.0
-        aps = []
+        out = {}
         for cls in classes:
             total_gt = 0
             confs, tps = [], []
@@ -218,37 +225,59 @@ class MaskMeanAveragePrecision:
                 gi = img["gl"] == cls
                 ps = img["ps"][pi]
                 ious = img["ious"][pi][:, gi]
+                g = ious.shape[1]
                 total_gt += int(gi.sum())
+                if ps.size == 0:
+                    continue
                 order = np.argsort(-ps, kind="stable")
-                taken = np.zeros(ious.shape[1], bool)
-                for d in order:
-                    confs.append(ps[d])
-                    best, best_iou = -1, threshold
-                    for g in range(ious.shape[1]):
-                        if not taken[g] and ious[d, g] >= best_iou:
-                            best, best_iou = g, ious[d, g]
-                    if best >= 0:
-                        taken[best] = True
-                        tps.append(1.0)
-                    else:
-                        tps.append(0.0)
+                confs.append(ps[order])
+                if g == 0:
+                    tps.append(np.zeros((nt, ps.size)))
+                    continue
+                taken = np.zeros((nt, g), bool)
+                tp = np.zeros((nt, ps.size))
+                for di, d in enumerate(order):
+                    masked = np.where(taken, -1.0, ious[d][None, :])  # (T, G)
+                    # last gt index among ties (original scan used >=)
+                    best_g = g - 1 - np.argmax(masked[:, ::-1], axis=1)
+                    best_iou = masked[np.arange(nt), best_g]
+                    hit = best_iou >= ts
+                    taken[hit, best_g[hit]] = True
+                    tp[:, di] = hit
+                tps.append(tp)
             if total_gt == 0:
                 continue
-            aps.append(average_precision(
-                np.asarray(confs), np.asarray(tps), total_gt,
-                IntegrationMode.InterpolationCOCO))
-        return float(np.mean(aps)) if aps else 0.0
+            out[cls] = (
+                np.concatenate(confs) if confs else np.zeros(0),
+                np.concatenate(tps, axis=1) if tps else np.zeros((nt, 0)),
+                total_gt)
+        return out
+
+    def _ap_per_threshold(self) -> np.ndarray:
+        """(T,) mean-over-classes AP at each IoU threshold."""
+        matches = self._match_all()
+        nt = len(self.IOU_THRESHOLDS)
+        if not matches:
+            return np.zeros(nt)
+        aps = np.array([
+            [average_precision(confs, tps[t], total_gt,
+                               IntegrationMode.InterpolationCOCO)
+             for t in range(nt)]
+            for confs, tps, total_gt in matches.values()])
+        return aps.mean(axis=0)
 
     def compute(self) -> float:
         if not self._images:
             return 0.0
-        return float(np.mean([self._ap_at(t) for t in self.IOU_THRESHOLDS]))
+        return float(self._ap_per_threshold().mean())
 
     def compute_dict(self) -> dict:
         """torchmetrics-style keys (reference logs map/map_50/map_75,
         ``mask_bev_module.py:228-236``)."""
         if not self._images:
             return {"map": 0.0, "map_50": 0.0, "map_75": 0.0}
-        per_t = {round(float(t), 2): self._ap_at(t) for t in self.IOU_THRESHOLDS}
-        return {"map": float(np.mean(list(per_t.values()))),
-                "map_50": per_t[0.5], "map_75": per_t[0.75]}
+        per_t = self._ap_per_threshold()
+        ts = [round(float(t), 2) for t in self.IOU_THRESHOLDS]
+        return {"map": float(per_t.mean()),
+                "map_50": float(per_t[ts.index(0.5)]),
+                "map_75": float(per_t[ts.index(0.75)])}
