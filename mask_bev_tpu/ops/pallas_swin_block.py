@@ -100,8 +100,8 @@ def build_band_bias(rel_hnn, *, win: int, wp: int, hp: int, shift: int,
 
 
 def _block_kernel(*refs, T, wp, win, hp, h, w, heads, shift, nloads):
-    (x_refs, (bias_ref, ln1_ref, wq_ref, wk_ref, wv_ref, bq_ref, bk_ref,
-              bv_ref, projw_ref, projb_ref, ln2_ref, w1_ref, b1_ref,
+    (x_refs, (bias_ref, ln1_ref, wqkv_ref, bqkv_ref,
+              projw_ref, projb_ref, ln2_ref, w1_ref, b1_ref,
               w2_ref, b2_ref), out_ref) = (
         refs[:nloads], refs[nloads:-1], refs[-1])
 
@@ -128,17 +128,17 @@ def _block_kernel(*refs, T, wp, win, hp, h, w, heads, shift, nloads):
     # tensor with zeros every block (swin.py:139-147)
     y = (_layer_norm(x32, ln1_ref) * validf).astype(x.dtype)
 
+    # ONE full-width QKV matmul (N = 3C keeps the MXU fully occupied;
+    # per-head (C, hd=64) matmuls ran its output lanes half-empty), then
+    # static per-head lane slices. qkv channel order: [q|k|v] x heads x hd.
+    qkv = jax.lax.dot_general(
+        y, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[...]   # (T, 3C) f32
     cols = []
     for hh in range(heads):
-        q = jax.lax.dot_general(
-            y, wq_ref[hh], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bq_ref[hh]
-        k = jax.lax.dot_general(
-            y, wk_ref[hh], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bk_ref[hh]
-        v = jax.lax.dot_general(
-            y, wv_ref[hh], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) + bv_ref[hh]
+        q = qkv[:, hh * hd: (hh + 1) * hd]
+        k = qkv[:, c + hh * hd: c + (hh + 1) * hd]
+        v = qkv[:, 2 * c + hh * hd: 2 * c + (hh + 1) * hd]
         attn = jax.lax.dot_general(
             (q * scale).astype(x.dtype), k.astype(x.dtype),
             (((1,), (1,)), ((), ())),
@@ -195,13 +195,9 @@ def fused_swin_block(
                            dtype=x.dtype)
     nvar = bias.shape[0]
 
-    # per-head weight tensors: qkv kernel (C, 3C) packs channels as
-    # [3, heads, hd] (matches the XLA path's reshape in WindowMSA)
-    wq, wk, wv = [m.astype(x.dtype).transpose(1, 0, 2)  # (heads, C, hd)
-                  for m in jnp.moveaxis(
-                      wqkv.reshape(c, 3, num_heads, hd), 1, 0)]
-    bq, bk, bv = [m.astype(f32)[:, None, :]             # (heads, 1, hd)
-                  for m in bqkv.reshape(3, num_heads, hd)]
+    # qkv kernel (C, 3C) already packs output channels as [3, heads, hd]
+    # (matches the XLA path's reshape in WindowMSA) — ship it whole; the
+    # kernel slices per head after one full-width matmul
 
     # Pallas requires the last two block dims to be (8,128)-divisible OR
     # full; T = win*wp (e.g. 1300) is neither, so blocks are carved as 4D
@@ -239,13 +235,13 @@ def fused_swin_block(
     inputs = [x_in] * nloads + [
         bias,
         jnp.stack([ln1_scale, ln1_bias]).astype(f32),
-        wq, wk, wv, bq, bk, bv,
+        wqkv.astype(x.dtype), bqkv[None].astype(f32),
         wproj.astype(x.dtype), bproj[None].astype(f32),
         jnp.stack([ln2_scale, ln2_bias]).astype(f32),
         w1.astype(x.dtype), b1[None].astype(f32),
         w2.astype(x.dtype), b2[None].astype(f32),
     ]
-    in_specs = x_specs + [bias_spec] + [wspec] * 14
+    in_specs = x_specs + [bias_spec] + [wspec] * 10
 
     kernel = functools.partial(
         _block_kernel, T=T, wp=wp, win=win, hp=hp, h=h, w=w,
