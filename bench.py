@@ -64,7 +64,11 @@ def main():
     # device-resident reuse on remote-attached TPUs.
     @jax.jit
     def fwd(v, pts, mask):
-        out = model.apply(v, pts.astype(in_dtype), mask, train=False)
+        # final_only: the real inference path — intermediate decoder layers
+        # produce only attention biases, not full-res mask logits (exact
+        # factoring through the bilinear resize; see Mask2FormerDecoder)
+        out = model.apply(v, pts.astype(in_dtype), mask, train=False,
+                          final_only=True)
         return out.cls_logits[-1], out.mask_logits[-1]
 
     # NB: on remote-attached TPUs block_until_ready is not a reliable

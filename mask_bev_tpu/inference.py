@@ -50,8 +50,10 @@ class MaskBevPredictor:
         # which blocks device-resident reuse on remote-attached TPUs)
         @jax.jit
         def _fwd(v, points, mask):
+            # final_only: intermediate decoder layers skip their full-res
+            # mask logits (exact factoring through the bilinear resize)
             out = self.model.apply(v, points.astype(in_dtype), mask,
-                                   train=False)
+                                   train=False, final_only=True)
             return (jax.nn.softmax(
                         out.cls_logits[-1].astype(jnp.float32), axis=-1),
                     jax.nn.sigmoid(

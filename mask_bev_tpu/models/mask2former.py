@@ -86,6 +86,21 @@ class FFN(nn.Module):
         return y
 
 
+def _mask_embed(hp: Dict, query):
+    """decoder-norm + 3-layer mask MLP -> (normed query, mask embedding)."""
+    x32 = query.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    x = (xc * jax.lax.rsqrt(var + 1e-6)
+         * hp["decoder_norm"]["scale"] + hp["decoder_norm"]["bias"])
+    x = x.astype(query.dtype)
+    y = nn.relu(x @ hp["mask_mlp1"]["kernel"] + hp["mask_mlp1"]["bias"])
+    y = nn.relu(y @ hp["mask_mlp2"]["kernel"] + hp["mask_mlp2"]["bias"])
+    mask_embed = y @ hp["mask_mlp3"]["kernel"] + hp["mask_mlp3"]["bias"]
+    return x, mask_embed
+
+
 def _heads_apply(hp: Dict, query, mask_features, predict_height: bool):
     """Per-layer prediction heads as a pure function of the param tree.
 
@@ -94,17 +109,8 @@ def _heads_apply(hp: Dict, query, mask_features, predict_height: bool):
     (ref ``_forward_head`` :428-459), including the ones inside the
     layer-group scan where flax submodule sharing is unavailable.
     """
-    x32 = query.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=-1, keepdims=True)
-    xc = x32 - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    x = (xc * jax.lax.rsqrt(var + 1e-6)
-         * hp["decoder_norm"]["scale"] + hp["decoder_norm"]["bias"])
-    x = x.astype(query.dtype)
+    x, mask_embed = _mask_embed(hp, query)
     cls_logits = x @ hp["cls_embed"]["kernel"] + hp["cls_embed"]["bias"]
-    y = nn.relu(x @ hp["mask_mlp1"]["kernel"] + hp["mask_mlp1"]["bias"])
-    y = nn.relu(y @ hp["mask_mlp2"]["kernel"] + hp["mask_mlp2"]["bias"])
-    mask_embed = y @ hp["mask_mlp3"]["kernel"] + hp["mask_mlp3"]["bias"]
     mask_logits = jnp.einsum(
         "bqc,bhwc->bqhw", mask_embed, mask_features,
         preferred_element_type=jnp.float32,
@@ -162,18 +168,12 @@ class MaskHeads(nn.Module):
                             self.predict_height)
 
 
-def _make_attn_bias(mask_logits, target_hw):
-    """mask logits (B, Q, H, W) -> additive bias (B, Q, hl*wl), detached.
+def _bias_from_logits(m, b, q, hl, wl):
+    """Level-resolution mask logits -> additive attn bias (B, Q, hl*wl).
 
-    sigmoid(resize(mask)) < 0.5 -> blocked (big negative); query rows that
-    would block everything are cleared (ref mask2former_head.py:460-470).
+    sigmoid(m) < 0.5 -> blocked (big negative); query rows that would block
+    everything are cleared (ref mask2former_head.py:460-470, 538-539).
     """
-    b, q, _, _ = mask_logits.shape
-    hl, wl = target_hw
-    # antialias=False: the reference downsamples with F.interpolate(bilinear,
-    # align_corners=False), which never antialiases (mask2former_head.py:459)
-    m = jax.image.resize(mask_logits, (b, q, hl, wl), method="bilinear",
-                         antialias=False)
     blocked = jax.nn.sigmoid(m) < 0.5
     blocked = blocked.reshape(b, q, hl * wl)
     all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
@@ -182,23 +182,51 @@ def _make_attn_bias(mask_logits, target_hw):
     return jax.lax.stop_gradient(bias)
 
 
+def _make_attn_bias(mask_logits, target_hw):
+    """mask logits (B, Q, H, W) -> additive bias (B, Q, hl*wl), detached."""
+    b, q, _, _ = mask_logits.shape
+    hl, wl = target_hw
+    # antialias=False: the reference downsamples with F.interpolate(bilinear,
+    # align_corners=False), which never antialiases (mask2former_head.py:459)
+    m = jax.image.resize(mask_logits, (b, q, hl, wl), method="bilinear",
+                         antialias=False)
+    return _bias_from_logits(m, b, q, hl, wl)
+
+
 class DecoderLayerGroup(nn.Module):
     """One scan step: decoder layers for memory levels 0..nl-1 (= layers
-    3g, 3g+1, 3g+2 of the reference's flat list, level cycling i % 3)."""
+    3g, 3g+1, 3g+2 of the reference's flat list, level cycling i % 3).
+
+    ``final_only``: inference mode — the per-layer full-resolution mask
+    logits exist only to be RESIZED into the next layer's attention bias,
+    and bilinear resize is linear while mask logits are linear in the mask
+    features, so ``resize(emb @ F) == emb @ resize(F)`` exactly. The carry
+    holds the mask *embedding* instead of full-res logits, each level's
+    bias comes from a small einsum against pre-resized features, and no
+    intermediate (B, Q, H/4, W/4) tensors are ever materialized.
+    """
 
     dim: int
     num_heads: int
     ffn_dim: int
     hws: Tuple[Tuple[int, int], ...]
     predict_height: bool = False
+    final_only: bool = False
 
     @nn.compact
     def __call__(self, carry, mems, pes, qpos, mask_features, head_params):
-        out, mask_l = carry
+        out, mask_l = carry  # mask_l: full-res logits, or mask embedding
         c = self.dim
         ys_cls, ys_mask, ys_h = [], [], []
         for lvl in range(len(self.hws)):
-            bias = _make_attn_bias(mask_l, self.hws[lvl])
+            hl, wl = self.hws[lvl]
+            if self.final_only:
+                # mask_features is the tuple of per-level resized features
+                m = jnp.einsum("bqc,bhwc->bqhw", mask_l, mask_features[lvl],
+                               preferred_element_type=jnp.float32)
+                bias = _bias_from_logits(m, m.shape[0], m.shape[1], hl, wl)
+            else:
+                bias = _make_attn_bias(mask_l, (hl, wl))
             # masked cross-attention (queries attend to foreground pixels)
             y = MultiHeadAttention(c, self.num_heads, name=f"lvl{lvl}_cross")(
                 out + qpos, mems[lvl] + pes[lvl], mems[lvl], attn_bias=bias)
@@ -210,11 +238,16 @@ class DecoderLayerGroup(nn.Module):
             y = FFN(c, self.ffn_dim, name=f"lvl{lvl}_ffn")(out)
             out = nn.LayerNorm(name=f"lvl{lvl}_norm3")(out + y)
 
+            if self.final_only:
+                _, mask_l = _mask_embed(head_params, out)
+                continue
             cls_l, mask_l, h_l = _heads_apply(
                 head_params, out, mask_features, self.predict_height)
             ys_cls.append(cls_l)
             ys_mask.append(mask_l)
             ys_h.append(h_l)
+        if self.final_only:
+            return (out, mask_l), None
         ys = (jnp.stack(ys_cls), jnp.stack(ys_mask))
         if self.predict_height:
             ys = ys + (jnp.stack(ys_h),)
@@ -240,7 +273,14 @@ class Mask2FormerDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, mask_features, memories: Sequence[jax.Array],
-                 train: bool = True) -> DecoderOutputs:
+                 train: bool = True, final_only: bool = False
+                 ) -> DecoderOutputs:
+        """``final_only=True`` (inference): return ONLY the final head pass
+        (stacked with leading axis 1, so callers' ``[-1]`` still works);
+        intermediate layers compute their attention biases from pre-resized
+        mask features (exact — see ``DecoderLayerGroup``), skipping 9
+        full-resolution mask einsums, their HBM round trips, and the
+        per-layer cls/height heads."""
         c = self.feat_channels
         b = mask_features.shape[0]
         nl = len(memories)  # 3
@@ -272,7 +312,19 @@ class Mask2FormerDecoder(nn.Module):
         out = jnp.broadcast_to(query_feat[None], (b, self.num_queries, c))
         qpos = query_embed[None]
 
-        cls_0, mask_0, height_0 = heads(out, mask_features)
+        if final_only:
+            # per-level resized mask features (f32: the bias threshold is
+            # taken on f32 logits, like the reference's resized logits)
+            f32feat = mask_features.astype(jnp.float32)
+            feats_r = tuple(
+                jax.image.resize(f32feat, (b, hl, wl, f32feat.shape[-1]),
+                                 method="bilinear", antialias=False)
+                for (hl, wl) in hws)
+            _, emb_0 = _mask_embed(heads.param_tree(), out)
+            carry0 = (out, emb_0)
+        else:
+            cls_0, mask_0, height_0 = heads(out, mask_features)
+            carry0 = (out, mask_0)
 
         if self.scan_layers and self.num_layers % nl == 0:
             groups = self.num_layers // nl
@@ -285,10 +337,16 @@ class Mask2FormerDecoder(nn.Module):
                 length=groups,
             )(dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
               hws=tuple(hws), predict_height=self.predict_height,
-              name="layers")
-            (_, _), ys = scanned(
-                (out, mask_0), tuple(mems), tuple(pes), qpos, mask_features,
+              final_only=final_only, name="layers")
+            (out_f, _), ys = scanned(
+                carry0, tuple(mems), tuple(pes), qpos,
+                feats_r if final_only else mask_features,
                 heads.param_tree())
+            if final_only:
+                cls_f, mask_f, h_f = heads(out_f, mask_features)
+                return DecoderOutputs(
+                    cls_f[None], mask_f[None],
+                    h_f[None] if self.predict_height else None)
             # (G, nl, ...) -> (L, ...), layer index = 3g + lvl
             cls_s = ys[0].reshape((self.num_layers,) + ys[0].shape[2:])
             mask_s = ys[1].reshape((self.num_layers,) + ys[1].shape[2:])
@@ -299,6 +357,32 @@ class Mask2FormerDecoder(nn.Module):
                 height_all = jnp.concatenate([height_0[None], h_s])
             return DecoderOutputs(cls_all, mask_all,
                                   height_all if self.predict_height else None)
+
+        if final_only:
+            out, emb_l = carry0
+            for i in range(self.num_layers):
+                lvl = i % nl
+                hl, wl = hws[lvl]
+                m = jnp.einsum("bqc,bhwc->bqhw", emb_l, feats_r[lvl],
+                               preferred_element_type=jnp.float32)
+                bias = _bias_from_logits(m, b, self.num_queries, hl, wl)
+                y = MultiHeadAttention(
+                    c, self.num_heads, name=f"layer{i}_cross")(
+                    out + qpos, mems[lvl] + pes[lvl], mems[lvl],
+                    attn_bias=bias)
+                out = nn.LayerNorm(name=f"layer{i}_norm1")(out + y)
+                y = MultiHeadAttention(
+                    c, self.num_heads, name=f"layer{i}_self")(
+                    out + qpos, out + qpos, out)
+                out = nn.LayerNorm(name=f"layer{i}_norm2")(out + y)
+                y = FFN(c, self.ffn_dim, name=f"layer{i}_ffn")(out)
+                out = nn.LayerNorm(name=f"layer{i}_norm3")(out + y)
+                if i < self.num_layers - 1:
+                    _, emb_l = _mask_embed(heads.param_tree(), out)
+            cls_f, mask_f, h_f = heads(out, mask_features)
+            return DecoderOutputs(
+                cls_f[None], mask_f[None],
+                h_f[None] if self.predict_height else None)
 
         cls_list, mask_list, height_list = [cls_0], [mask_0], [height_0]
         mask_l = mask_0

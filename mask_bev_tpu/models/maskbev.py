@@ -78,11 +78,17 @@ class MaskBev(nn.Module):
             num_height_bins=c.head_num_height_bins,
         )
 
-    def __call__(self, points, point_mask, train: bool = True) -> DecoderOutputs:
+    def __call__(self, points, point_mask, train: bool = True,
+                 final_only: bool = False) -> DecoderOutputs:
+        """``final_only=True`` (inference): only the final head pass is
+        returned (leading axis 1, so ``[-1]`` indexing still works) and the
+        intermediate layers skip their full-resolution mask logits — exact
+        by linearity of the bilinear resize (see Mask2FormerDecoder)."""
         x = self.encoder(points, point_mask, train=train)
         feats = self.backbone(x, train=train)
         mask_features, memories = self.pixel_decoder(feats, train=train)
-        return self.decoder(mask_features, memories, train=train)
+        return self.decoder(mask_features, memories, train=train,
+                            final_only=final_only)
 
     # --- reference-parity phase API (mask_bev_module.py:180-187) ---
     def forward_encode(self, points, point_mask, train: bool = False):
@@ -91,6 +97,8 @@ class MaskBev(nn.Module):
     def forward_backbone(self, pseudo_image, train: bool = False):
         return self.backbone(pseudo_image, train=train)
 
-    def pred_masks(self, feats: Sequence[jax.Array], train: bool = False):
+    def pred_masks(self, feats: Sequence[jax.Array], train: bool = False,
+                   final_only: bool = False):
         mask_features, memories = self.pixel_decoder(feats, train=train)
-        return self.decoder(mask_features, memories, train=train)
+        return self.decoder(mask_features, memories, train=train,
+                            final_only=final_only)
