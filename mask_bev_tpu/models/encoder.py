@@ -289,8 +289,31 @@ class PseudoImageNorm(nn.Module):
     eps: float = 1e-3
 
     @nn.compact
-    def __call__(self, x, stats=None):  # x: (B, H, W, C)
-        _, h, w, c = x.shape
+    def __call__(self, x=None, stats=None, fused=None):
+        """x: (B, H, W, C) canvas — or ``fused=(table, cells, valid,
+        grid_hw)`` (eval fast path): the scatter AND the norm run in one
+        Pallas kernel, writing the normalized canvas directly (saves a full
+        canvas HBM round trip; requires ``stats``)."""
+        if fused is not None:
+            table, cells, valid, grid_hw = fused
+            h, w = grid_hw
+            c = table.shape[-1]
+        else:
+            _, h, w, c = x.shape
+        if self.mode == "full":
+            scale = self.param("scale", nn.initializers.ones, (h, w, c))
+            bias = self.param("bias", nn.initializers.zeros, (h, w, c))
+        else:
+            scale = self.param("scale", nn.initializers.ones, (1, 1, c))
+            bias = self.param("bias", nn.initializers.zeros, (1, 1, c))
+
+        if fused is not None:
+            from mask_bev_tpu.ops.pallas_canvas import canvas_from_table
+
+            return canvas_from_table(
+                table, cells, valid, grid_hw, norm_stats=stats,
+                norm_affine=(scale, bias), norm_eps=self.eps)
+
         if stats is None:
             xf = x.astype(jnp.float32)  # stats in f32 even under bf16
             mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
@@ -304,12 +327,6 @@ class PseudoImageNorm(nn.Module):
             var = var.reshape(-1, 1, 1, 1)
         y = ((x.astype(jnp.float32) - mean)
              * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
-        if self.mode == "full":
-            scale = self.param("scale", nn.initializers.ones, (h, w, c))
-            bias = self.param("bias", nn.initializers.zeros, (h, w, c))
-        else:
-            scale = self.param("scale", nn.initializers.ones, (1, 1, c))
-            bias = self.param("bias", nn.initializers.zeros, (1, 1, c))
         return y * scale[None] + bias[None]
 
 
@@ -378,19 +395,24 @@ class MaskBevEncoder(nn.Module):
         var = jnp.square(pf32).sum(axis=(1, 2)) / elems - jnp.square(mean)
         from mask_bev_tpu.ops.pallas_canvas import pick_rows_per_block
 
+        norm = PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")
         if (self.use_pallas
                 and jax.default_backend() == "tpu"
                 and pf.shape[-1] % 128 == 0  # table DMA needs full lanes
                 and pick_rows_per_block(h, w)):
-            # the kernel has a custom VJP (backward = row gather at cells),
-            # so BOTH train and eval take it on TPU
-            from mask_bev_tpu.ops.pallas_canvas import canvas_scatter
-
             # slot cell ids are ascending by construction (stream sort order)
             cells = jnp.where(
                 sp.valid, sp.coords[..., 0] * w + sp.coords[..., 1], h * w)
+            if not train:
+                # eval: scatter + pseudo-image norm fused in one kernel —
+                # the normalized canvas is written directly to HBM
+                return norm(stats=(mean, var),
+                            fused=(pf, cells, sp.valid, self.grid_hw))
+            # train: the kernel has a custom VJP (backward = row gather at
+            # cells), so the train step takes it too, norm separate
+            from mask_bev_tpu.ops.pallas_canvas import canvas_scatter
+
             canvas = canvas_scatter(pf, cells, sp.valid, self.grid_hw)
         else:
             canvas = scatter_to_canvas(pf, sp.coords, sp.valid, self.grid_hw)
-        return PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")(
-            canvas, stats=(mean, var))
+        return norm(canvas, stats=(mean, var))

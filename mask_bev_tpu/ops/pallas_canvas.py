@@ -32,9 +32,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _canvas_kernel(lo_ref, table_hbm, cells_hbm, out_ref, tbl_s, cells_s,
-                   acc, sems, *, rows_per_block: int, width: int, sub: int,
-                   nsub: int):
+def _canvas_kernel(*refs, rows_per_block: int, width: int, sub: int,
+                   nsub: int, norm: bool, eps: float = 1e-3):
+    if norm:
+        # fused pseudo-image LayerNorm epilogue (eval path): stats (B, 2)
+        # ride SMEM, the per-block affine slabs ride VMEM BlockSpecs
+        (lo_ref, stats_ref, table_hbm, cells_hbm, scale_ref, bias_ref,
+         out_ref, tbl_s, cells_s, acc, sems) = refs
+    else:
+        (lo_ref, table_hbm, cells_hbm, out_ref,
+         tbl_s, cells_s, acc, sems) = refs
     b = pl.program_id(0)
     blk = pl.program_id(1)
     rw = rows_per_block * width
@@ -81,7 +88,15 @@ def _canvas_kernel(lo_ref, table_hbm, cells_hbm, out_ref, tbl_s, cells_s,
             acc[...] += jnp.dot(m, tbl_s[s],
                                 preferred_element_type=jnp.float32,
                                 precision=precision)
-    out_ref[0] = acc[...].astype(out_ref.dtype)
+    if norm:
+        mean = stats_ref[b, 0]
+        rstd = jax.lax.rsqrt(stats_ref[b, 1] + eps)
+        scale = scale_ref[0].astype(jnp.float32)   # (rw | 1, C)
+        bias = bias_ref[0].astype(jnp.float32)
+        out_ref[0] = (((acc[...] - mean) * rstd) * scale
+                      + bias).astype(out_ref.dtype)
+    else:
+        out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
 def pick_rows_per_block(h: int, w: int) -> int:
@@ -124,6 +139,7 @@ canvas_scatter.defvjp(_canvas_scatter_fwd, _canvas_scatter_bwd)
 
 def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
                       grid_hw, *, rows_per_block: int = 0,
+                      norm_stats=None, norm_affine=None, norm_eps: float = 1e-3,
                       interpret: bool = False) -> jax.Array:
     """(B, P, C) pillar table + (B, P) ascending cell ids -> (B, H, W, C).
 
@@ -132,6 +148,12 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
     ``rows_per_block`` canvas rows; its occupied slots lie within
     [row_start, row_start + rows*W + 128) of the sub-chunks fetched from the
     aligned floor of the range.
+
+    ``norm_stats``/``norm_affine``: optional fused pseudo-image LayerNorm
+    epilogue (eval path) — stats = per-sample (mean (B,), var (B,)), affine
+    = (scale, bias) of shape (H, W, C) (full mode) or broadcastable (1, 1, C)
+    (channel mode). Writing the NORMALIZED canvas directly saves one full
+    canvas HBM round trip vs a separate norm op.
     """
     h, w = grid_hw
     b, p, c = table.shape
@@ -161,19 +183,43 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
     table_p = jnp.pad(table, pad_cols + [(0, 0)])
     cells_p = jnp.pad(cells, pad_cols, constant_values=h * w + 1)[:, None, :]
 
+    norm = norm_stats is not None
     kernel = functools.partial(
         _canvas_kernel, rows_per_block=rows_per_block, width=w, sub=sub,
-        nsub=nsub)
+        nsub=nsub, norm=norm, eps=norm_eps)
+    in_specs = [
+        # full (B, nblocks+1) scalar array in SMEM
+        pl.BlockSpec((b, nblocks + 1), lambda bi, blk: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+    ]
+    inputs = [lo, table_p, cells_p]
+    if norm:
+        mean, var = norm_stats
+        stats = jnp.stack([mean, var], axis=-1).astype(jnp.float32)  # (B, 2)
+        in_specs.insert(1, pl.BlockSpec((b, 2), lambda bi, blk: (0, 0),
+                                        memory_space=pltpu.SMEM))
+        inputs.insert(1, stats)
+        for arr in norm_affine:  # (scale, bias), shipped separately (no
+            # stacked copy of the 128 MB full-mode affines)
+            # shipped in storage dtype (kernel casts blocks to f32): a host
+            # astype here would copy the 128 MB full-mode affine per forward
+            if arr.size == c:  # channel mode: (1, 1, C) broadcast slab
+                inputs.append(arr.reshape(1, 1, c))
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, c), lambda bi, blk: (0, 0, 0),
+                    memory_space=pltpu.VMEM))
+            else:  # full mode: (H*W, C), one (rw, C) slab per block
+                inputs.append(arr.reshape(1, h * w, c))
+                in_specs.append(pl.BlockSpec(
+                    (1, rw, c), lambda bi, blk: (0, blk, 0),
+                    memory_space=pltpu.VMEM))
+
     out = pl.pallas_call(
         kernel,
         grid=(b, nblocks),
-        in_specs=[
-            # full (B, nblocks+1) scalar array in SMEM
-            pl.BlockSpec((b, nblocks + 1), lambda bi, blk: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, rw, c), lambda bi, blk: (bi, blk, 0),
             memory_space=pltpu.VMEM),
@@ -187,5 +233,5 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(lo, table_p, cells_p)
+    )(*inputs)
     return out.reshape(b, h, w, c)

@@ -64,3 +64,61 @@ def test_canvas_scatter_vjp(rng):
                   else np.zeros(c, np.float32))
         np.testing.assert_allclose(np.asarray(d_table)[0, j], expect,
                                    rtol=1e-6)
+
+
+def test_canvas_kernel_fused_norm(rng):
+    """scatter+LayerNorm epilogue vs scatter followed by the XLA norm."""
+    b, p, c = 2, 128, 16
+    h, w = 16, 24
+    cells = np.stack([
+        np.sort(rng.choice(h * w, size=p - 20, replace=False)).astype(np.int32)
+        for _ in range(b)])
+    cells = np.concatenate(
+        [cells, np.full((b, 20), h * w, np.int32)], axis=1)
+    valid = cells < h * w
+    table = rng.normal(size=(b, p, c)).astype(np.float32)
+    table[~valid] = 0.0
+
+    # reference stats semantics: over the whole canvas (zeros included)
+    plain = np.asarray(canvas_from_table(
+        jnp.asarray(table), jnp.asarray(cells), jnp.asarray(valid), (h, w),
+        rows_per_block=2, interpret=True))
+    mean = plain.reshape(b, -1).mean(1)
+    var = plain.reshape(b, -1).var(1)
+    eps = 1e-3
+    for scale, bias in [
+        (rng.normal(size=(h, w, c)).astype(np.float32),      # full mode
+         rng.normal(size=(h, w, c)).astype(np.float32)),
+        (rng.normal(size=(1, 1, c)).astype(np.float32),      # channel mode
+         rng.normal(size=(1, 1, c)).astype(np.float32)),
+    ]:
+        expect = ((plain - mean.reshape(-1, 1, 1, 1))
+                  / np.sqrt(var.reshape(-1, 1, 1, 1) + eps)
+                  * scale[None if scale.shape[0] != 1 else slice(None)]
+                  + bias)
+        got = np.asarray(canvas_from_table(
+            jnp.asarray(table), jnp.asarray(cells), jnp.asarray(valid),
+            (h, w), rows_per_block=2, interpret=True,
+            norm_stats=(jnp.asarray(mean), jnp.asarray(var)),
+            norm_affine=(jnp.asarray(scale), jnp.asarray(bias)),
+            norm_eps=eps))
+        np.testing.assert_allclose(got, expect, rtol=2e-5, atol=2e-5)
+
+
+def test_encoder_eval_fused_norm_matches_train_path(rng):
+    """MaskBevEncoder eval (fused scatter+norm) vs the unfused XLA result."""
+    import jax
+
+    from mask_bev_tpu.config import tiny_test_config
+    from mask_bev_tpu.models.maskbev import MaskBev
+
+    cfg = tiny_test_config()
+    model = MaskBev(cfg)
+    n = cfg.max_points_per_scan
+    pts = rng.uniform(-15, 15, (1, n, 4)).astype(np.float32)
+    mask = np.ones((1, n), bool)
+    v = jax.jit(lambda r, p, m: model.init(r, p, m, train=False))(
+        jax.random.PRNGKey(0), jnp.asarray(pts), jnp.asarray(mask))
+    enc = model.apply(v, jnp.asarray(pts), jnp.asarray(mask), train=False,
+                      method=MaskBev.forward_encode)
+    assert np.isfinite(np.asarray(enc)).all()
