@@ -114,6 +114,9 @@ class MaskBevConfig:
     # whole-Swin-block fused kernel (LN1 -> windowed MSA -> LN2 -> MLP, one
     # HBM round-trip per block) used on TPU inference
     use_pallas_backbone: bool = True
+    # 'col': col-major band layout + banded-chunk attention in the fused
+    # backbone kernels for large unscanned stages (A/B against 'row' on TPU)
+    backbone_band_layout: str = "row"
     pseudo_image_norm: str = "full"  # 'full' = LayerNorm([C,H,W]) like reference; 'channel' = per-channel
 
     # Unknown YAML keys land here (reference swallows them via **kwargs)

@@ -60,6 +60,7 @@ class MaskBev(nn.Module):
             swap_dims=c.backbone_swap_dims,
             use_pallas=c.use_pallas_attention,
             use_pallas_block=c.use_pallas_backbone,
+            band_layout=c.backbone_band_layout,
         )
         self.pixel_decoder = PixelDecoder(
             feat_channels=c.head_feat_channels,

@@ -300,6 +300,29 @@ class SwinBlock(nn.Module):
             roll_in=roll_in, shift=shift, interpret=interpret)
         return out, shift
 
+    def fused_col(self, xc, hw: Tuple[int, int], hw_pad: Tuple[int, int],
+                  roll_in: int, interpret: bool = False):
+        """Col-major-band variant with banded-chunk attention (see
+        ``ops/pallas_swin_block.py``). ``xc``: (B, nwh, Tp, C) bands."""
+        from mask_bev_tpu.ops.pallas_swin_block import fused_swin_block_col
+
+        hp, wp = hw_pad
+        shift = self.window // 2 if self.shift else 0
+        if min(hp, wp) == self.window:
+            shift = 0  # window covers the grid (ref swin.py:180-184)
+        msa = self.attn.w_msa
+        out = fused_swin_block_col(
+            xc, msa.rel_bias(self.window * self.window),
+            self.norm1.scale, self.norm1.bias,
+            msa.qkv.kernel, msa.qkv.bias, msa.proj.kernel, msa.proj.bias,
+            self.norm2.scale, self.norm2.bias,
+            self.ffn_1.kernel, self.ffn_1.bias,
+            self.ffn_2.kernel, self.ffn_2.bias,
+            h=hw[0], w=hw[1], hp=hp, wp=wp, win=self.window,
+            num_heads=self.num_heads,
+            roll_in=roll_in, shift=shift, interpret=interpret)
+        return out, shift
+
 
 class SwinBlockPair(nn.Module):
     """One ``nn.scan`` step: an (unshifted, shifted) block pair.
@@ -398,6 +421,11 @@ class SwinTransformer(nn.Module):
     use_pallas: bool = True  # experimental window-MSA-only kernel (off by default upstream)
     use_pallas_block: bool = True  # whole-block fused kernel on TPU inference
     fused_interpret: bool = False  # run the fused path in interpret mode (tests)
+    # 'col': col-major bands + banded-chunk attention for large unscanned
+    # stages (bands >= col_min_band tokens) — ~3.4x fewer attention FLOPs
+    # at stage 0 (tests lower col_min_band to force the path on tiny grids)
+    band_layout: str = "row"
+    col_min_band: int = 512
     # nn.scan deep stages' (unshifted, shifted) block pairs: one compiled
     # pair body instead of `depth` traced blocks (stacked param layout)
     scan_pairs: bool = True
@@ -525,13 +553,30 @@ class SwinTransformer(nn.Module):
                 xg = jnp.pad(
                     x.reshape(b, hh, ww, dim),
                     ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0)))
-                xg = xg.reshape(b, hp * wp, dim)
-                roll = 0
-                for blk in blocks:
-                    xg, roll = blk.fused(
-                        xg, hw, (hp, wp), roll,
-                        interpret=self.fused_interpret)
-                xg = xg.reshape(b, hp, wp, dim)
+                tband = wp * win
+                if self.band_layout == "col" and tband >= self.col_min_band:
+                    # col-major bands: banded-chunk attention (one repack
+                    # in/out per stage; rows un-roll like the row path —
+                    # band g holds canonical rows g*win + roll + [0, win))
+                    from mask_bev_tpu.ops.pallas_swin_block import (
+                        from_col_bands, to_col_bands)
+
+                    tp = ((tband + 127) // 128) * 128
+                    xc = to_col_bands(xg, win, tp)
+                    roll = 0
+                    for blk in blocks:
+                        xc, roll = blk.fused_col(
+                            xc, hw, (hp, wp), roll,
+                            interpret=self.fused_interpret)
+                    xg = from_col_bands(xc, win, hp, wp)
+                else:
+                    xg = xg.reshape(b, hp * wp, dim)
+                    roll = 0
+                    for blk in blocks:
+                        xg, roll = blk.fused(
+                            xg, hw, (hp, wp), roll,
+                            interpret=self.fused_interpret)
+                    xg = xg.reshape(b, hp, wp, dim)
                 if roll:
                     xg = jnp.roll(xg, roll, axis=1)
                 x = xg[:, :hh, :ww].reshape(b, hh * ww, dim)

@@ -258,3 +258,271 @@ def fused_swin_block(
         interpret=interpret,
     )(*inputs)
     return out.reshape(b, r_total, c)
+
+
+# ---------------------------------------------------------------------------
+# Column-major band layout + banded-chunk attention
+#
+# Within a band (win grid rows), ordering tokens COLUMN-major
+# (t' = c*win + r) makes every window — of either partition — a contiguous
+# token range: unshifted window w covers t' in [w*win^2, (w+1)*win^2); a
+# shifted window covers [w*win^2 - s*win, w*win^2 + s*win + ...), still
+# contiguous, because any contiguous COLUMN range is a contiguous t' range.
+# Attention therefore runs in 128-query chunks against a 384-key window
+# around the diagonal instead of the full (T, T) band — ~3.4x fewer
+# attention FLOPs and softmax elements at the 130-column stage-0 band.
+# Row shifts cannot ride the loads in this layout (a global row roll
+# interleaves adjacent bands); instead the kernel loads TWO adjacent bands
+# and merges them with two sublane rolls + a period-win select (VPU-cheap).
+# ---------------------------------------------------------------------------
+
+
+def to_col_bands(xg: jax.Array, win: int, tp: int) -> jax.Array:
+    """(B, hp, wp, C) canonical grid -> (B, nwh, Tp, C) col-major bands."""
+    b, hp, wp, c = xg.shape
+    nwh = hp // win
+    x = xg.reshape(b, nwh, win, wp, c).transpose(0, 1, 3, 2, 4)
+    x = x.reshape(b, nwh, wp * win, c)
+    return jnp.pad(x, ((0, 0), (0, 0), (0, tp - wp * win), (0, 0)))
+
+
+def from_col_bands(xc: jax.Array, win: int, hp: int, wp: int) -> jax.Array:
+    """(B, nwh, Tp, C) col-major bands -> (B, hp, wp, C) canonical grid."""
+    b, nwh, _, c = xc.shape
+    x = xc[:, :, : wp * win].reshape(b, nwh, wp, win, c)
+    return x.transpose(0, 1, 3, 2, 4).reshape(b, hp, wp, c)
+
+
+def _col_chunk_starts(tp: int, chunk: int, key_w: int):
+    """Static key-window start per query chunk (clamped to [0, tp-key_w])."""
+    return [min(max((i - 1) * chunk, 0), tp - key_w)
+            for i in range(tp // chunk)]
+
+
+def build_band_bias_col(rel_hnn, *, win: int, wp: int, shift: int, tp: int,
+                        chunk: int, key_w: int, dtype):
+    """Additive attention bias for one col-major band.
+
+    Returns (V, nch, heads, chunk, key_w) banded chunks when
+    ``key_w < tp`` else the full (V, heads, tp, tp) matrix. V = 2 variants
+    for shifted blocks (interior band / last band), else 1.
+    """
+    heads, n, _ = rel_hnn.shape
+    t = np.arange(tp)
+    c = t // win
+    r = t - c * win
+    real = c < wp
+    cc = (c - shift) % wp
+    w_id = np.where(real, cc // win, -1)  # pad tokens alias no window
+    n_idx = np.where(real, r * win + cc % win, 0)
+
+    p_sel = jnp.asarray(np.eye(n, dtype=np.float32)[n_idx])
+    same_w = real[:, None] & real[None, :] & (w_id[:, None] == w_id[None, :])
+    if shift > 0:
+        regc = np.where(cc < wp - win, 0, np.where(cc < wp - shift, 1, 2))
+        reg_rows = [np.zeros_like(r),                     # interior bands
+                    np.where(r < win - shift, 1, 2)]      # last band
+    else:
+        regc = np.zeros_like(cc)
+        reg_rows = [np.zeros_like(r)]
+
+    rel32 = rel_hnn.astype(jnp.float32)
+    nch = tp // chunk
+    starts = _col_chunk_starts(tp, chunk, key_w)
+    banded = key_w < tp
+    variants = []
+    for regr in reg_rows:
+        reg = regr * 3 + regc
+        ok = same_w & (reg[:, None] == reg[None, :])
+        if banded:
+            rows = []
+            for i, k0 in enumerate(starts):
+                q_sl = slice(i * chunk, (i + 1) * chunk)
+                k_sl = slice(k0, k0 + key_w)
+                blk = jnp.einsum(
+                    "tn,hnm,sm->hts", p_sel[q_sl], rel32, p_sel[k_sl])
+                rows.append(jnp.where(jnp.asarray(ok[q_sl, k_sl]),
+                                      blk, -100.0))
+            variants.append(jnp.stack(rows))       # (nch, heads, chunk, kw)
+        else:
+            full = jnp.einsum("tn,hnm,sm->hts", p_sel, rel32, p_sel)
+            variants.append(jnp.where(jnp.asarray(ok), full, -100.0))
+    return jnp.stack(variants).astype(dtype)
+
+
+def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
+                      nloads, chunk, key_w):
+    (x_refs, (bias_ref, ln1_ref, wqkv_ref, bqkv_ref, projw_ref, projb_ref,
+              ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref), out_ref) = (
+        refs[:nloads], refs[nloads:-1], refs[-1])
+
+    band = pl.program_id(1)
+    c = out_ref.shape[-1]
+    hd = c // heads
+    scale = hd ** -0.5
+    banded = key_w < tp
+
+    tio = jax.lax.broadcasted_iota(jnp.int32, (tp, 1), 0)
+    col = tio // win
+    rloc = tio - col * win
+
+    if nloads == 2:
+        # merge two adjacent stored bands into this block's shifted band:
+        # rows r' < win - delta come from ref0 at t' + delta, the rest from
+        # ref1 at t' - (win - delta). Wrapped roll garbage only lands where
+        # the select takes the other ref (or in the pad tail).
+        f0 = x_refs[0][0, 0].astype(jnp.float32)
+        f1 = x_refs[1][0, 0].astype(jnp.float32)
+        r0 = pltpu.roll(f0, (-delta) % tp, 0)
+        r1 = pltpu.roll(f1, (win - delta) % tp, 0)
+        x32 = jnp.where(rloc < win - delta, r0, r1)
+    else:
+        x32 = x_refs[0][0, 0].astype(jnp.float32)
+
+    orig_r = rloc + band * win + shift
+    orig_r = jnp.where(orig_r >= hp, orig_r - hp, orig_r)
+    validf = ((orig_r < h) & (col < w)).astype(jnp.float32)  # (tp, 1)
+
+    y = (_layer_norm(x32, ln1_ref) * validf).astype(out_ref.dtype)
+
+    qkv = jax.lax.dot_general(
+        y, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bqkv_ref[...]   # (tp, 3C) f32
+
+    if banded:
+        starts = _col_chunk_starts(tp, chunk, key_w)
+        o_rows = []
+        for i, k0 in enumerate(starts):
+            cols = []
+            for hh in range(heads):
+                q = qkv[i * chunk:(i + 1) * chunk, hh * hd:(hh + 1) * hd]
+                k = qkv[k0:k0 + key_w, c + hh * hd: c + (hh + 1) * hd]
+                v = qkv[k0:k0 + key_w, 2 * c + hh * hd: 2 * c + (hh + 1) * hd]
+                attn = jax.lax.dot_general(
+                    (q * scale).astype(y.dtype), k.astype(y.dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                attn = attn + bias_ref[0, i, hh].astype(jnp.float32)
+                attn = jax.nn.softmax(attn, axis=-1)
+                cols.append(jax.lax.dot_general(
+                    attn.astype(y.dtype), v.astype(y.dtype),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))
+            o_rows.append(jnp.concatenate(cols, axis=-1))
+        o = jnp.concatenate(o_rows, axis=0).astype(y.dtype)    # (tp, C)
+    else:
+        cols = []
+        for hh in range(heads):
+            q = qkv[:, hh * hd:(hh + 1) * hd]
+            k = qkv[:, c + hh * hd: c + (hh + 1) * hd]
+            v = qkv[:, 2 * c + hh * hd: 2 * c + (hh + 1) * hd]
+            attn = jax.lax.dot_general(
+                (q * scale).astype(y.dtype), k.astype(y.dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn = attn + bias_ref[0, hh].astype(jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1)
+            cols.append(jax.lax.dot_general(
+                attn.astype(y.dtype), v.astype(y.dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        o = jnp.concatenate(cols, axis=-1).astype(y.dtype)
+
+    o = jax.lax.dot_general(
+        o, projw_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + projb_ref[...]
+
+    x1 = x32 + o
+    z = _layer_norm(x1, ln2_ref).astype(y.dtype)
+    hmid = jax.lax.dot_general(
+        z, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    hmid = jax.nn.gelu(hmid, approximate=True).astype(y.dtype)
+    mlp = jax.lax.dot_general(
+        hmid, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    out_ref[0, 0] = (x1 + mlp).astype(out_ref.dtype)
+
+
+def fused_swin_block_col(
+    x: jax.Array,       # (B, nwh, Tp, C) col-major bands, rolled by roll_in
+    rel_hnn: jax.Array,
+    ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
+    ln2_scale, ln2_bias, w1, b1, w2, b2,
+    *, h: int, w: int, hp: int, wp: int, win: int, num_heads: int,
+    roll_in: int = 0, shift: int = 0, chunk: int = 128, key_w: int = 384,
+    interpret: bool = False,
+):
+    """One Swin block on col-major bands with banded-chunk attention.
+
+    Returns output bands rolled by ``shift`` (chain like the row kernel).
+    ``key_w`` is clamped to Tp (full attention) when the band is small.
+    """
+    b, nwh, tp, c = x.shape
+    assert tp % chunk == 0 and wp * win <= tp, (tp, chunk, wp, win)
+    key_w = min(key_w, tp)
+    if key_w < tp:
+        # banded correctness bound: a query's window spans win^2 contiguous
+        # tokens, which must fit inside the +-1-chunk key window
+        assert key_w >= 3 * chunk and win * win <= chunk + 1, \
+            (key_w, chunk, win)
+    diff = shift - roll_in
+    delta = diff % win
+    base = (diff - delta) // win
+    nloads = 1 if delta == 0 else 2
+
+    f32 = jnp.float32
+    bias = build_band_bias_col(
+        rel_hnn, win=win, wp=wp, shift=shift, tp=tp, chunk=chunk,
+        key_w=key_w, dtype=x.dtype)
+    nvar = bias.shape[0]
+
+    if nloads == 1:
+        x_specs = [pl.BlockSpec((1, 1, tp, c), lambda bi, g: (bi, g, 0, 0),
+                                memory_space=pltpu.VMEM)]
+    else:
+        x_specs = [
+            pl.BlockSpec((1, 1, tp, c),
+                         lambda bi, g, j=j: (bi, (g + base + j) % nwh, 0, 0),
+                         memory_space=pltpu.VMEM)
+            for j in range(2)
+        ]
+
+    ndim_tail = (0, 0, 0, 0) if key_w < tp else (0, 0, 0)
+    if nvar == 2:
+        bias_spec = pl.BlockSpec(
+            (1,) + bias.shape[1:],
+            lambda bi, g: (jnp.where(g == nwh - 1, 1, 0),) + ndim_tail,
+            memory_space=pltpu.VMEM)
+    else:
+        bias_spec = pl.BlockSpec(
+            (1,) + bias.shape[1:], lambda bi, g: (0,) + ndim_tail,
+            memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    inputs = [x] * nloads + [
+        bias,
+        jnp.stack([ln1_scale, ln1_bias]).astype(f32),
+        wqkv.astype(x.dtype), bqkv[None].astype(f32),
+        wproj.astype(x.dtype), bproj[None].astype(f32),
+        jnp.stack([ln2_scale, ln2_bias]).astype(f32),
+        w1.astype(x.dtype), b1[None].astype(f32),
+        w2.astype(x.dtype), b2[None].astype(f32),
+    ]
+    in_specs = x_specs + [bias_spec] + [wspec] * 10
+
+    kernel = functools.partial(
+        _block_kernel_col, tp=tp, wp=wp, win=win, hp=hp, h=h, w=w,
+        heads=num_heads, shift=shift, delta=delta, nloads=nloads,
+        chunk=chunk, key_w=key_w)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nwh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, tp, c), lambda bi, g: (bi, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nwh, tp, c), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
