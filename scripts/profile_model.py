@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--window", type=int, default=None,
                     help="override backbone_window_size (perf experiments)")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--band-layout", type=str, default=None,
+                    choices=("row", "col"),
+                    help="override backbone_band_layout (A/B the banded "
+                         "col-major attention)")
     ap.add_argument("--trace", type=str, default=None, metavar="DIR",
                     help="capture a jax.profiler trace of a few forward "
                          "steps into DIR (inspect with tensorboard or "
@@ -42,6 +46,8 @@ def main():
         cfg = cfg.replace(backbone_window_size=args.window)
     if args.no_pallas:
         cfg = cfg.replace(use_pallas_encoder=False)
+    if args.band_layout:
+        cfg = cfg.replace(backbone_band_layout=args.band_layout)
     model = MaskBev(cfg)
     n = cfg.max_points_per_scan
     r0 = np.random.default_rng(0)
@@ -61,7 +67,7 @@ def main():
     bck = jax.jit(lambda v, x: model.apply(
         v, x, train=False, method=MaskBev.forward_backbone))
     hed = jax.jit(lambda v, f: model.apply(
-        v, f, train=False, method=MaskBev.pred_masks))
+        v, f, train=False, final_only=True, method=MaskBev.pred_masks))
 
     staged = [jnp.asarray(pts + np.random.default_rng(10 + s).normal(
         0, 0.01, pts.shape).astype(np.float32)) for s in range(3)]

@@ -22,6 +22,8 @@ BENCH_BATCH=12 run bench_b12 python bench.py
 BENCH_BATCH=16 run bench_b16 python bench.py
 # 3. per-stage split + jax.profiler trace artifact
 run profile python scripts/profile_model.py --batch 8 --trace "$OUT/trace"
+# 3b. banded col-major backbone A/B
+run profile_col python scripts/profile_model.py --batch 8 --band-layout col
 # 4. train-step timing, f32 vs bf16 (VERDICT r2 #6)
 run train_time python scripts/profile_train.py --batch 4 --iters 6
 echo "session artifacts in $OUT"
