@@ -257,10 +257,11 @@ def render_point_cloud(
     render_mode: Optional[int] = None,
 ) -> np.ndarray:
     """Headless render -> (H, W, 3) uint8 image (surfaceless EGL + FBO)."""
-    from OpenGL import GL as gl
-
+    # the EGL context must select the PyOpenGL platform BEFORE any
+    # ``OpenGL.GL`` import resolves function pointers (GLX would need X11)
     w, h = size
     ctx = _EglContext()
+    from OpenGL import GL as gl
     try:
         # offscreen framebuffer (surfaceless EGL has no default surface)
         fbo = gl.glGenFramebuffers(1)
