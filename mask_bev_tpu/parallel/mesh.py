@@ -74,6 +74,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh,
                 axis: str = "data") -> Dict[str, jax.Array]:
     """Place a host batch onto the mesh, sharded along the leading dim."""
+    n = mesh.devices.size
+    for k, v in batch.items():
+        if hasattr(v, "shape") and v.shape and v.shape[0] % n != 0:
+            raise ValueError(
+                f"batch leading dim {v.shape[0]} of '{k}' is not divisible "
+                f"by the {n}-device mesh; set batch_size to a multiple of "
+                f"the device count (or restrict the Trainer's devices)")
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
