@@ -22,7 +22,29 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
+def _arm_watchdog(seconds: int = 1500):
+    """Fail fast if the TPU attachment relay is wedged: a hung
+    ``jax.devices()`` would otherwise stall the calling harness forever.
+    Dumps all thread tracebacks, then hard-exits nonzero."""
+    import faulthandler
+    import threading
+
+    faulthandler.dump_traceback_later(max(seconds - 60, 1), repeat=False)
+
+    def die():
+        print(json.dumps({
+            "error": f"watchdog: bench did not finish in {seconds}s "
+                     "(TPU relay wedged?)"}), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, die)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -111,6 +133,7 @@ def main():
         lat.append(time.time() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "kitti_scans_per_sec_per_chip",
         "value": round(scans_per_sec, 2),
