@@ -117,6 +117,8 @@ class MaskBevConfig:
     # 'col': col-major band layout + banded-chunk attention in the fused
     # backbone kernels for large unscanned stages (A/B against 'row' on TPU)
     backbone_band_layout: str = "row"
+    # fused decoder-layer kernel on the final_only inference path (A/B-gated)
+    use_pallas_head: bool = False
     pseudo_image_norm: str = "full"  # 'full' = LayerNorm([C,H,W]) like reference; 'channel' = per-channel
 
     # Unknown YAML keys land here (reference swallows them via **kwargs)

@@ -49,19 +49,32 @@ class DecoderOutputs(NamedTuple):
 
 
 class MultiHeadAttention(nn.Module):
-    """Standard MHA with optional additive attention bias (B, Q, K) or (B, H, Q, K)."""
+    """Standard MHA with optional additive attention bias (B, Q, K) or
+    (B, H, Q, K). Setup-style params (same tree as the nn.Dense version)
+    so the fused decoder-layer kernel can read the weights directly."""
 
     dim: int
     num_heads: int
 
-    @nn.compact
+    def setup(self):
+        c = self.dim
+        self.q = DenseWithBias(c, c)
+        self.k = DenseWithBias(c, c)
+        self.v = DenseWithBias(c, c)
+        self.out = DenseWithBias(c, c)
+
+    def param_tree(self) -> Dict:
+        return {n: {"kernel": getattr(self, n).kernel,
+                    "bias": getattr(self, n).bias}
+                for n in ("q", "k", "v", "out")}
+
     def __call__(self, q, k, v, attn_bias=None):
         b, nq, c = q.shape
         h = self.num_heads
         hd = c // h
-        qp = nn.Dense(c, name="q")(q).reshape(b, nq, h, hd)
-        kp = nn.Dense(c, name="k")(k).reshape(b, k.shape[1], h, hd)
-        vp = nn.Dense(c, name="v")(v).reshape(b, v.shape[1], h, hd)
+        qp = self.q(q).reshape(b, nq, h, hd)
+        kp = self.k(k).reshape(b, k.shape[1], h, hd)
+        vp = self.v(v).reshape(b, v.shape[1], h, hd)
         attn = jnp.einsum("bqhd,bkhd->bhqk", qp * (hd**-0.5), kp,
                           preferred_element_type=jnp.float32)
         if attn_bias is not None:
@@ -71,19 +84,24 @@ class MultiHeadAttention(nn.Module):
         attn = jax.nn.softmax(attn, axis=-1).astype(q.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp,
                          preferred_element_type=jnp.float32).astype(q.dtype)
-        return nn.Dense(c, name="out")(out.reshape(b, nq, c))
+        return self.out(out.reshape(b, nq, c))
 
 
 class FFN(nn.Module):
     dim: int
     hidden: int
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = DenseWithBias(self.dim, self.hidden)
+        self.fc2 = DenseWithBias(self.hidden, self.dim)
+
+    def param_tree(self) -> Dict:
+        return {n: {"kernel": getattr(self, n).kernel,
+                    "bias": getattr(self, n).bias}
+                for n in ("fc1", "fc2")}
+
     def __call__(self, x):
-        y = nn.Dense(self.hidden, name="fc1")(x)
-        y = nn.relu(y)
-        y = nn.Dense(self.dim, name="fc2")(y)
-        return y
+        return self.fc2(nn.relu(self.fc1(x)))
 
 
 def _mask_embed(hp: Dict, query):
@@ -212,11 +230,53 @@ class DecoderLayerGroup(nn.Module):
     hws: Tuple[Tuple[int, int], ...]
     predict_height: bool = False
     final_only: bool = False
+    use_pallas: bool = False        # fused layer kernel (final_only only)
+    pallas_interpret: bool = False
 
-    @nn.compact
+    def setup(self):
+        c = self.dim
+        for lvl in range(len(self.hws)):
+            setattr(self, f"lvl{lvl}_cross",
+                    MultiHeadAttention(c, self.num_heads))
+            setattr(self, f"lvl{lvl}_self",
+                    MultiHeadAttention(c, self.num_heads))
+            setattr(self, f"lvl{lvl}_norm1", LayerNormP(c))
+            setattr(self, f"lvl{lvl}_norm2", LayerNormP(c))
+            setattr(self, f"lvl{lvl}_norm3", LayerNormP(c))
+            setattr(self, f"lvl{lvl}_ffn", FFN(c, self.ffn_dim))
+
+    def _lvl(self, lvl: int, name: str):
+        return getattr(self, f"lvl{lvl}_{name}")
+
+    def _lvl_params(self, lvl: int) -> Dict:
+        def lnp(m):
+            return {"scale": m.scale, "bias": m.bias}
+
+        return {"cross": self._lvl(lvl, "cross").param_tree(),
+                "self_": self._lvl(lvl, "self").param_tree(),
+                "norm1": lnp(self._lvl(lvl, "norm1")),
+                "norm2": lnp(self._lvl(lvl, "norm2")),
+                "norm3": lnp(self._lvl(lvl, "norm3")),
+                "ffn": self._lvl(lvl, "ffn").param_tree()}
+
     def __call__(self, carry, mems, pes, qpos, mask_features, head_params):
         out, mask_l = carry  # mask_l: full-res logits, or mask embedding
-        c = self.dim
+        if self.final_only and self.use_pallas:
+            from mask_bev_tpu.ops.pallas_decoder_layer import (
+                fused_decoder_layer)
+
+            emb = mask_l
+            for lvl in range(len(self.hws)):
+                hl, wl = self.hws[lvl]
+                feat = mask_features[lvl].reshape(
+                    mask_features[lvl].shape[0], hl * wl, -1)
+                out, emb = fused_decoder_layer(
+                    out, emb, qpos, mems[lvl], pes[lvl], feat,
+                    self._lvl_params(lvl), head_params,
+                    num_heads=self.num_heads,
+                    interpret=self.pallas_interpret)
+            return (out, emb), None
+
         ys_cls, ys_mask, ys_h = [], [], []
         for lvl in range(len(self.hws)):
             hl, wl = self.hws[lvl]
@@ -228,15 +288,14 @@ class DecoderLayerGroup(nn.Module):
             else:
                 bias = _make_attn_bias(mask_l, (hl, wl))
             # masked cross-attention (queries attend to foreground pixels)
-            y = MultiHeadAttention(c, self.num_heads, name=f"lvl{lvl}_cross")(
+            y = self._lvl(lvl, "cross")(
                 out + qpos, mems[lvl] + pes[lvl], mems[lvl], attn_bias=bias)
-            out = nn.LayerNorm(name=f"lvl{lvl}_norm1")(out + y)
+            out = self._lvl(lvl, "norm1")(out + y)
             # self-attention among queries
-            y = MultiHeadAttention(c, self.num_heads, name=f"lvl{lvl}_self")(
-                out + qpos, out + qpos, out)
-            out = nn.LayerNorm(name=f"lvl{lvl}_norm2")(out + y)
-            y = FFN(c, self.ffn_dim, name=f"lvl{lvl}_ffn")(out)
-            out = nn.LayerNorm(name=f"lvl{lvl}_norm3")(out + y)
+            y = self._lvl(lvl, "self")(out + qpos, out + qpos, out)
+            out = self._lvl(lvl, "norm2")(out + y)
+            y = self._lvl(lvl, "ffn")(out)
+            out = self._lvl(lvl, "norm3")(out + y)
 
             if self.final_only:
                 _, mask_l = _mask_embed(head_params, out)
@@ -270,6 +329,10 @@ class Mask2FormerDecoder(nn.Module):
     # to the unrolled python loop when num_layers isn't a multiple of the
     # level count (different param tree: layer{i}_* vs layers/lvl{l}_*)
     scan_layers: bool = True
+    # fused per-layer Pallas kernel on the final_only inference path (kills
+    # the ~30 small-op dispatches per layer); A/B-gated like the backbone
+    use_pallas: bool = False
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, mask_features, memories: Sequence[jax.Array],
@@ -337,7 +400,12 @@ class Mask2FormerDecoder(nn.Module):
                 length=groups,
             )(dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
               hws=tuple(hws), predict_height=self.predict_height,
-              final_only=final_only, name="layers")
+              final_only=final_only,
+              use_pallas=(self.use_pallas and final_only
+                          and not self.is_initializing()
+                          and (self.pallas_interpret
+                               or jax.default_backend() == "tpu")),
+              pallas_interpret=self.pallas_interpret, name="layers")
             (out_f, _), ys = scanned(
                 carry0, tuple(mems), tuple(pes), qpos,
                 feats_r if final_only else mask_features,

@@ -77,6 +77,7 @@ class MaskBev(nn.Module):
             ffn_dim=c.head_ffn_dim,
             predict_height=c.predict_height,
             num_height_bins=c.head_num_height_bins,
+            use_pallas=c.use_pallas_head,
         )
 
     def __call__(self, points, point_mask, train: bool = True,
