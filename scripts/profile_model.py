@@ -27,6 +27,8 @@ def main():
                     choices=("row", "col"),
                     help="override backbone_band_layout (A/B the banded "
                          "col-major attention)")
+    ap.add_argument("--pallas-head", action="store_true",
+                    help="fused decoder-layer kernel (A/B use_pallas_head)")
     ap.add_argument("--trace", type=str, default=None, metavar="DIR",
                     help="capture a jax.profiler trace of a few forward "
                          "steps into DIR (inspect with tensorboard or "
@@ -48,6 +50,8 @@ def main():
         cfg = cfg.replace(use_pallas_encoder=False)
     if args.band_layout:
         cfg = cfg.replace(backbone_band_layout=args.band_layout)
+    if args.pallas_head:
+        cfg = cfg.replace(use_pallas_head=True)
     model = MaskBev(cfg)
     n = cfg.max_points_per_scan
     r0 = np.random.default_rng(0)
