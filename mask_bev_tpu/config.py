@@ -119,6 +119,9 @@ class MaskBevConfig:
     backbone_band_layout: str = "row"
     # fused decoder-layer kernel on the final_only inference path (A/B-gated)
     use_pallas_head: bool = False
+    # 'int8': dynamic int8 quantization of the fused backbone's dense
+    # matmuls (2x MXU throughput on v5e; fidelity bounds in ARCHITECTURE.md)
+    backbone_quantize: str = "none"
     pseudo_image_norm: str = "full"  # 'full' = LayerNorm([C,H,W]) like reference; 'channel' = per-channel
 
     # Unknown YAML keys land here (reference swallows them via **kwargs)

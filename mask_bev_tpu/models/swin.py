@@ -272,7 +272,8 @@ class SwinBlock(nn.Module):
         return x + self._drop_path(y, train, drop_path)
 
     def fused(self, xg, hw: Tuple[int, int], hw_pad: Tuple[int, int],
-              roll_in: int, interpret: bool = False):
+              roll_in: int, interpret: bool = False,
+              quantize: bool = False):
         """Whole-block Pallas kernel on a flat padded (B, hp*wp, C) grid.
 
         ``xg`` rows are stored rolled by ``roll_in``; returns
@@ -297,7 +298,8 @@ class SwinBlock(nn.Module):
             self.ffn_2.kernel, self.ffn_2.bias,
             h=hw[0], w=hw[1], hp=hp, wp=wp, win=self.window,
             num_heads=self.num_heads,
-            roll_in=roll_in, shift=shift, interpret=interpret)
+            roll_in=roll_in, shift=shift, quantize=quantize,
+            interpret=interpret)
         return out, shift
 
     def fused_col(self, xc, hw: Tuple[int, int], hw_pad: Tuple[int, int],
@@ -345,6 +347,7 @@ class SwinBlockPair(nn.Module):
     use_pallas: bool = True
     fused: bool = False
     fused_interpret: bool = False
+    quantize: bool = False
     train: bool = True
 
     def setup(self):
@@ -364,9 +367,10 @@ class SwinBlockPair(nn.Module):
             s_pair = 0 if min(hp, wp) == win else win // 2
             xg, r = self.block0.fused(
                 x, self.hw, (hp, wp), s_pair,
-                interpret=self.fused_interpret)
+                interpret=self.fused_interpret, quantize=self.quantize)
             xg, r = self.block1.fused(
-                xg, self.hw, (hp, wp), r, interpret=self.fused_interpret)
+                xg, self.hw, (hp, wp), r, interpret=self.fused_interpret,
+                quantize=self.quantize)
             assert r == s_pair, (r, s_pair)  # uniform carry roll state
             return xg, None
         x = self.block0(x, self.hw, train=self.train, drop_path=dps[0])
@@ -426,6 +430,9 @@ class SwinTransformer(nn.Module):
     # at stage 0 (tests lower col_min_band to force the path on tiny grids)
     band_layout: str = "row"
     col_min_band: int = 512
+    # int8 dynamic quantization of the fused blocks' dense matmuls (row
+    # layout only; A/B-gated, fidelity documented in ARCHITECTURE.md)
+    quantize_int8: bool = False
     # nn.scan deep stages' (unshifted, shifted) block pairs: one compiled
     # pair body instead of `depth` traced blocks (stacked param layout)
     scan_pairs: bool = True
@@ -511,7 +518,8 @@ class SwinTransformer(nn.Module):
                 )(dim=dim, num_heads=self.num_heads[i], window=win,
                   mlp_ratio=self.mlp_ratio, hw=hw,
                   use_pallas=self.use_pallas, fused=stage_fused,
-                  fused_interpret=self.fused_interpret, train=train,
+                  fused_interpret=self.fused_interpret,
+                  quantize=self.quantize_int8, train=train,
                   name=f"stage{i}_pairs")
                 if stage_fused:
                     s_pair = 0 if min(hp, wp) == win else win // 2
@@ -575,7 +583,8 @@ class SwinTransformer(nn.Module):
                     for blk in blocks:
                         xg, roll = blk.fused(
                             xg, hw, (hp, wp), roll,
-                            interpret=self.fused_interpret)
+                            interpret=self.fused_interpret,
+                            quantize=self.quantize_int8)
                     xg = xg.reshape(b, hp, wp, dim)
                 if roll:
                     xg = jnp.roll(xg, roll, axis=1)

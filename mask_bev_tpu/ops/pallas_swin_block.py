@@ -99,11 +99,35 @@ def build_band_bias(rel_hnn, *, win: int, wp: int, hp: int, shift: int,
     return out.astype(dtype)
 
 
-def _block_kernel(*refs, T, wp, win, hp, h, w, heads, shift, nloads):
-    (x_refs, (bias_ref, ln1_ref, wqkv_ref, bqkv_ref,
-              projw_ref, projb_ref, ln2_ref, w1_ref, b1_ref,
-              w2_ref, b2_ref), out_ref) = (
-        refs[:nloads], refs[nloads:-1], refs[-1])
+def _q8_act(x32):
+    """Per-row (token) dynamic int8 quantization of f32 activations."""
+    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                    1e-6) / 127.0
+    q = jnp.clip(jnp.round(x32 / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
+def _qdot(x32, w_ref, ws_ref, b_ref):
+    """int8 x int8 -> int32 matmul with per-row/per-channel dequant."""
+    q, s = _q8_act(x32)
+    y = jax.lax.dot_general(q, w_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * s * ws_ref[...] + b_ref[...]
+
+
+def _block_kernel(*refs, T, wp, win, hp, h, w, heads, shift, nloads,
+                  quant: bool = False):
+    if quant:
+        # every dense weight ships as (int8 kernel, (1, F) f32 scale)
+        (x_refs, (bias_ref, ln1_ref, wqkv_ref, wqkv_s, bqkv_ref,
+                  projw_ref, projw_s, projb_ref, ln2_ref, w1_ref, w1_s,
+                  b1_ref, w2_ref, w2_s, b2_ref), out_ref) = (
+            refs[:nloads], refs[nloads:-1], refs[-1])
+    else:
+        (x_refs, (bias_ref, ln1_ref, wqkv_ref, bqkv_ref,
+                  projw_ref, projb_ref, ln2_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref), out_ref) = (
+            refs[:nloads], refs[nloads:-1], refs[-1])
 
     band = pl.program_id(1)
     if nloads == 1:
@@ -126,14 +150,17 @@ def _block_kernel(*refs, T, wp, win, hp, h, w, heads, shift, nloads):
     x32 = x.astype(jnp.float32)
     # zero padded tokens AFTER LN: the reference pads the normalized
     # tensor with zeros every block (swin.py:139-147)
-    y = (_layer_norm(x32, ln1_ref) * validf).astype(x.dtype)
+    y32 = _layer_norm(x32, ln1_ref) * validf
 
     # ONE full-width QKV matmul (N = 3C keeps the MXU fully occupied;
     # per-head (C, hd=64) matmuls ran its output lanes half-empty), then
     # static per-head lane slices. qkv channel order: [q|k|v] x heads x hd.
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bqkv_ref[...]   # (T, 3C) f32
+    if quant:
+        qkv = _qdot(y32, wqkv_ref, wqkv_s, bqkv_ref)          # (T, 3C) f32
+    else:
+        qkv = jax.lax.dot_general(
+            y32.astype(x.dtype), wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[...]
     cols = []
     for hh in range(heads):
         q = qkv[:, hh * hd: (hh + 1) * hd]
@@ -149,23 +176,32 @@ def _block_kernel(*refs, T, wp, win, hp, h, w, heads, shift, nloads):
             attn.astype(x.dtype), v.astype(x.dtype),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))
-    o = jnp.concatenate(cols, axis=-1).astype(x.dtype)      # (T, C)
+    o32 = jnp.concatenate(cols, axis=-1)                    # (T, C) f32
 
-    o = jax.lax.dot_general(
-        o, projw_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + projb_ref[...]
+    if quant:
+        o32 = _qdot(o32, projw_ref, projw_s, projb_ref)
+    else:
+        o32 = jax.lax.dot_general(
+            o32.astype(x.dtype), projw_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + projb_ref[...]
 
-    x1 = x32 + o                                            # residual, f32
+    x1 = x32 + o32                                          # residual, f32
 
-    z = _layer_norm(x1, ln2_ref).astype(x.dtype)
-    hmid = jax.lax.dot_general(
-        z, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[...]
+    z32 = _layer_norm(x1, ln2_ref)
+    if quant:
+        hmid = _qdot(z32, w1_ref, w1_s, b1_ref)
+    else:
+        hmid = jax.lax.dot_general(
+            z32.astype(x.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[...]
     # tanh gelu: Mosaic lowers neither erf nor erfc (see module docstring)
-    hmid = jax.nn.gelu(hmid, approximate=True).astype(x.dtype)
-    mlp = jax.lax.dot_general(
-        hmid, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[...]
+    hmid = jax.nn.gelu(hmid, approximate=True)
+    if quant:
+        mlp = _qdot(hmid, w2_ref, w2_s, b2_ref)
+    else:
+        mlp = jax.lax.dot_general(
+            hmid.astype(x.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[...]
     out_ref[0, 0] = (x1 + mlp).astype(out_ref.dtype)
 
 
@@ -175,9 +211,15 @@ def fused_swin_block(
     ln1_scale, ln1_bias, wqkv, bqkv, wproj, bproj,
     ln2_scale, ln2_bias, w1, b1, w2, b2,
     *, h: int, w: int, hp: int, wp: int, win: int, num_heads: int,
-    roll_in: int = 0, shift: int = 0, interpret: bool = False,
+    roll_in: int = 0, shift: int = 0, quantize: bool = False,
+    interpret: bool = False,
 ):
     """One full Swin block on a padded, flattened BEV grid.
+
+    ``quantize``: int8 dynamic quantization of the four dense matmuls
+    (per-token activation scales, per-output-channel weight scales; the
+    attention matmuls and softmax stay bf16/f32) — v5e's int8 MXU runs 2x
+    bf16 throughput on the FLOP-dominant projections.
 
     Returns the block output with rows rolled by ``shift`` — chain blocks
     by passing each block's ``shift`` as the next block's ``roll_in``, and
@@ -232,20 +274,40 @@ def fused_swin_block(
                                  memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    inputs = [x_in] * nloads + [
-        bias,
-        jnp.stack([ln1_scale, ln1_bias]).astype(f32),
-        wqkv.astype(x.dtype), bqkv[None].astype(f32),
-        wproj.astype(x.dtype), bproj[None].astype(f32),
-        jnp.stack([ln2_scale, ln2_bias]).astype(f32),
-        w1.astype(x.dtype), b1[None].astype(f32),
-        w2.astype(x.dtype), b2[None].astype(f32),
-    ]
-    in_specs = x_specs + [bias_spec] + [wspec] * 10
+    if quantize:
+        def qw(wm):
+            """Per-output-channel int8 weight quantization."""
+            w32 = wm.astype(f32)
+            s = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True),
+                            1e-8) / 127.0
+            q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+            return [q, s]
+
+        inputs = [x_in] * nloads + [
+            bias,
+            jnp.stack([ln1_scale, ln1_bias]).astype(f32),
+            *qw(wqkv), bqkv[None].astype(f32),
+            *qw(wproj), bproj[None].astype(f32),
+            jnp.stack([ln2_scale, ln2_bias]).astype(f32),
+            *qw(w1), b1[None].astype(f32),
+            *qw(w2), b2[None].astype(f32),
+        ]
+        in_specs = x_specs + [bias_spec] + [wspec] * 14
+    else:
+        inputs = [x_in] * nloads + [
+            bias,
+            jnp.stack([ln1_scale, ln1_bias]).astype(f32),
+            wqkv.astype(x.dtype), bqkv[None].astype(f32),
+            wproj.astype(x.dtype), bproj[None].astype(f32),
+            jnp.stack([ln2_scale, ln2_bias]).astype(f32),
+            w1.astype(x.dtype), b1[None].astype(f32),
+            w2.astype(x.dtype), b2[None].astype(f32),
+        ]
+        in_specs = x_specs + [bias_spec] + [wspec] * 10
 
     kernel = functools.partial(
         _block_kernel, T=T, wp=wp, win=win, hp=hp, h=h, w=w,
-        heads=num_heads, shift=shift, nloads=nloads)
+        heads=num_heads, shift=shift, nloads=nloads, quant=quantize)
     out = pl.pallas_call(
         kernel,
         grid=(b, nwh),

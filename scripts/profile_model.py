@@ -29,6 +29,8 @@ def main():
                          "col-major attention)")
     ap.add_argument("--pallas-head", action="store_true",
                     help="fused decoder-layer kernel (A/B use_pallas_head)")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8-quantized backbone dense matmuls (A/B)")
     ap.add_argument("--trace", type=str, default=None, metavar="DIR",
                     help="capture a jax.profiler trace of a few forward "
                          "steps into DIR (inspect with tensorboard or "
@@ -52,6 +54,8 @@ def main():
         cfg = cfg.replace(backbone_band_layout=args.band_layout)
     if args.pallas_head:
         cfg = cfg.replace(use_pallas_head=True)
+    if args.int8:
+        cfg = cfg.replace(backbone_quantize="int8")
     model = MaskBev(cfg)
     n = cfg.max_points_per_scan
     r0 = np.random.default_rng(0)

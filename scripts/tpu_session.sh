@@ -26,6 +26,8 @@ run profile python scripts/profile_model.py --batch 8 --trace "$OUT/trace"
 run profile_col python scripts/profile_model.py --batch 8 --band-layout col
 # 3c. fused decoder-layer kernel A/B
 run profile_head python scripts/profile_model.py --batch 8 --pallas-head
+# 3d. int8-quantized backbone A/B
+run profile_int8 python scripts/profile_model.py --batch 8 --int8
 # 4. train-step timing, f32 vs bf16 (VERDICT r2 #6)
 run train_time python scripts/profile_train.py --batch 4 --iters 6
 echo "session artifacts in $OUT"

@@ -150,3 +150,23 @@ def test_fused_col_banded_matches_full():
                 got, want, rtol=0, atol=3e-2,
                 err_msg=f"{name} roll_in={roll_in} shift={shift}")
             assert np.abs(got - want).mean() < 1e-2
+
+
+def test_fused_int8_fidelity():
+    """int8 dynamic quantization of the dense matmuls: bounded deviation
+    from the f32 XLA path (weights ~N(0, 0.02) after init -> per-channel
+    scales keep relative error at the percent level)."""
+    x, params, ref = _mk(4, hw=(9, 7), seed=5)
+    want = ref.apply(params, x, train=False)
+    q = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(4, 8), window=4,
+        out_indices=(0, 1),
+        use_pallas=False, use_pallas_block=True, fused_interpret=True,
+        quantize_int8=True)
+    got = q.apply(params, x, train=False)
+    for g, w in zip(got, want):
+        g32, w32 = np.asarray(g, np.float32), np.asarray(w, np.float32)
+        scale = np.abs(w32).max() + 1e-6
+        rel = np.abs(g32 - w32) / scale
+        assert rel.max() < 0.12, rel.max()
+        assert rel.mean() < 0.02, rel.mean()
