@@ -303,7 +303,8 @@ class SwinBlock(nn.Module):
         return out, shift
 
     def fused_col(self, xc, hw: Tuple[int, int], hw_pad: Tuple[int, int],
-                  roll_in: int, interpret: bool = False):
+                  roll_in: int, interpret: bool = False,
+                  quantize: bool = False):
         """Col-major-band variant with banded-chunk attention (see
         ``ops/pallas_swin_block.py``). ``xc``: (B, nwh, Tp, C) bands."""
         from mask_bev_tpu.ops.pallas_swin_block import fused_swin_block_col
@@ -322,7 +323,8 @@ class SwinBlock(nn.Module):
             self.ffn_2.kernel, self.ffn_2.bias,
             h=hw[0], w=hw[1], hp=hp, wp=wp, win=self.window,
             num_heads=self.num_heads,
-            roll_in=roll_in, shift=shift, interpret=interpret)
+            roll_in=roll_in, shift=shift, quantize=quantize,
+            interpret=interpret)
         return out, shift
 
 
@@ -575,7 +577,8 @@ class SwinTransformer(nn.Module):
                     for blk in blocks:
                         xc, roll = blk.fused_col(
                             xc, hw, (hp, wp), roll,
-                            interpret=self.fused_interpret)
+                            interpret=self.fused_interpret,
+                            quantize=self.quantize_int8)
                     xg = from_col_bands(xc, win, hp, wp)
                 else:
                     xg = xg.reshape(b, hp * wp, dim)

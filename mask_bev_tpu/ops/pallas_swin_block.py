@@ -413,10 +413,16 @@ def build_band_bias_col(rel_hnn, *, win: int, wp: int, shift: int, tp: int,
 
 
 def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
-                      nloads, chunk, key_w):
-    (x_refs, (bias_ref, ln1_ref, wqkv_ref, bqkv_ref, projw_ref, projb_ref,
-              ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref), out_ref) = (
-        refs[:nloads], refs[nloads:-1], refs[-1])
+                      nloads, chunk, key_w, quant: bool = False):
+    if quant:
+        (x_refs, (bias_ref, ln1_ref, wqkv_ref, wqkv_s, bqkv_ref,
+                  projw_ref, projw_s, projb_ref, ln2_ref, w1_ref, w1_s,
+                  b1_ref, w2_ref, w2_s, b2_ref), out_ref) = (
+            refs[:nloads], refs[nloads:-1], refs[-1])
+    else:
+        (x_refs, (bias_ref, ln1_ref, wqkv_ref, bqkv_ref, projw_ref,
+                  projb_ref, ln2_ref, w1_ref, b1_ref, w2_ref, b2_ref),
+         out_ref) = (refs[:nloads], refs[nloads:-1], refs[-1])
 
     band = pl.program_id(1)
     c = out_ref.shape[-1]
@@ -445,11 +451,15 @@ def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
     orig_r = jnp.where(orig_r >= hp, orig_r - hp, orig_r)
     validf = ((orig_r < h) & (col < w)).astype(jnp.float32)  # (tp, 1)
 
-    y = (_layer_norm(x32, ln1_ref) * validf).astype(out_ref.dtype)
+    y32 = _layer_norm(x32, ln1_ref) * validf
+    y = y32.astype(out_ref.dtype)
 
-    qkv = jax.lax.dot_general(
-        y, wqkv_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bqkv_ref[...]   # (tp, 3C) f32
+    if quant:
+        qkv = _qdot(y32, wqkv_ref, wqkv_s, bqkv_ref)          # (tp, 3C) f32
+    else:
+        qkv = jax.lax.dot_general(
+            y, wqkv_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + bqkv_ref[...]
 
     if banded:
         starts = _col_chunk_starts(tp, chunk, key_w)
@@ -490,19 +500,28 @@ def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
                 preferred_element_type=jnp.float32))
         o = jnp.concatenate(cols, axis=-1).astype(y.dtype)
 
-    o = jax.lax.dot_general(
-        o, projw_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + projb_ref[...]
+    if quant:
+        o32 = _qdot(o.astype(jnp.float32), projw_ref, projw_s, projb_ref)
+    else:
+        o32 = jax.lax.dot_general(
+            o, projw_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + projb_ref[...]
 
-    x1 = x32 + o
-    z = _layer_norm(x1, ln2_ref).astype(y.dtype)
-    hmid = jax.lax.dot_general(
-        z, w1_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b1_ref[...]
-    hmid = jax.nn.gelu(hmid, approximate=True).astype(y.dtype)
-    mlp = jax.lax.dot_general(
-        hmid, w2_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b2_ref[...]
+    x1 = x32 + o32
+    z32 = _layer_norm(x1, ln2_ref)
+    if quant:
+        hmid = _qdot(z32, w1_ref, w1_s, b1_ref)
+    else:
+        hmid = jax.lax.dot_general(
+            z32.astype(y.dtype), w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b1_ref[...]
+    hmid = jax.nn.gelu(hmid, approximate=True)
+    if quant:
+        mlp = _qdot(hmid, w2_ref, w2_s, b2_ref)
+    else:
+        mlp = jax.lax.dot_general(
+            hmid.astype(y.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b2_ref[...]
     out_ref[0, 0] = (x1 + mlp).astype(out_ref.dtype)
 
 
@@ -513,7 +532,7 @@ def fused_swin_block_col(
     ln2_scale, ln2_bias, w1, b1, w2, b2,
     *, h: int, w: int, hp: int, wp: int, win: int, num_heads: int,
     roll_in: int = 0, shift: int = 0, chunk: int = 128, key_w: int = 384,
-    interpret: bool = False,
+    quantize: bool = False, interpret: bool = False,
 ):
     """One Swin block on col-major bands with banded-chunk attention.
 
@@ -562,21 +581,40 @@ def fused_swin_block_col(
             memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    inputs = [x] * nloads + [
-        bias,
-        jnp.stack([ln1_scale, ln1_bias]).astype(f32),
-        wqkv.astype(x.dtype), bqkv[None].astype(f32),
-        wproj.astype(x.dtype), bproj[None].astype(f32),
-        jnp.stack([ln2_scale, ln2_bias]).astype(f32),
-        w1.astype(x.dtype), b1[None].astype(f32),
-        w2.astype(x.dtype), b2[None].astype(f32),
-    ]
-    in_specs = x_specs + [bias_spec] + [wspec] * 10
+    if quantize:
+        def qw(wm):
+            w32 = wm.astype(f32)
+            s = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True),
+                            1e-8) / 127.0
+            q = jnp.clip(jnp.round(w32 / s), -127, 127).astype(jnp.int8)
+            return [q, s]
+
+        inputs = [x] * nloads + [
+            bias,
+            jnp.stack([ln1_scale, ln1_bias]).astype(f32),
+            *qw(wqkv), bqkv[None].astype(f32),
+            *qw(wproj), bproj[None].astype(f32),
+            jnp.stack([ln2_scale, ln2_bias]).astype(f32),
+            *qw(w1), b1[None].astype(f32),
+            *qw(w2), b2[None].astype(f32),
+        ]
+        in_specs = x_specs + [bias_spec] + [wspec] * 14
+    else:
+        inputs = [x] * nloads + [
+            bias,
+            jnp.stack([ln1_scale, ln1_bias]).astype(f32),
+            wqkv.astype(x.dtype), bqkv[None].astype(f32),
+            wproj.astype(x.dtype), bproj[None].astype(f32),
+            jnp.stack([ln2_scale, ln2_bias]).astype(f32),
+            w1.astype(x.dtype), b1[None].astype(f32),
+            w2.astype(x.dtype), b2[None].astype(f32),
+        ]
+        in_specs = x_specs + [bias_spec] + [wspec] * 10
 
     kernel = functools.partial(
         _block_kernel_col, tp=tp, wp=wp, win=win, hp=hp, h=h, w=w,
         heads=num_heads, shift=shift, delta=delta, nloads=nloads,
-        chunk=chunk, key_w=key_w)
+        chunk=chunk, key_w=key_w, quant=quantize)
     return pl.pallas_call(
         kernel,
         grid=(b, nwh),

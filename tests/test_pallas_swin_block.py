@@ -170,3 +170,19 @@ def test_fused_int8_fidelity():
         rel = np.abs(g32 - w32) / scale
         assert rel.max() < 0.12, rel.max()
         assert rel.mean() < 0.02, rel.mean()
+
+
+def test_fused_col_int8_fidelity():
+    x, params, ref = _mk(4, hw=(9, 7), seed=6)
+    want = ref.apply(params, x, train=False)
+    q = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(4, 8), window=4,
+        out_indices=(0, 1),
+        use_pallas=False, use_pallas_block=True, fused_interpret=True,
+        band_layout="col", col_min_band=0, quantize_int8=True)
+    got = q.apply(params, x, train=False)
+    for g, w in zip(got, want):
+        g32, w32 = np.asarray(g, np.float32), np.asarray(w, np.float32)
+        rel = np.abs(g32 - w32) / (np.abs(w32).max() + 1e-6)
+        assert rel.max() < 0.12, rel.max()
+        assert rel.mean() < 0.02, rel.mean()
