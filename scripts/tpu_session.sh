@@ -14,6 +14,8 @@ run() { # name, cmd...
   echo "rc=$? (tail):"; tail -3 "$OUT/$name.log"
 }
 
+# 0. fast Mosaic-lowering smoke of every kernel flag combo
+run smoke python scripts/tpu_smoke.py
 # 1. bench at batch 8 (headline) — cold compile time is part of the result
 run bench_b8 python bench.py
 # 2. batch sweep (the round-2 b16<b8 anomaly)
