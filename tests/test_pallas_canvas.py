@@ -122,3 +122,39 @@ def test_encoder_eval_fused_norm_matches_train_path(rng):
     enc = model.apply(v, jnp.asarray(pts), jnp.asarray(mask), train=False,
                       method=MaskBev.forward_encode)
     assert np.isfinite(np.asarray(enc)).all()
+
+    # replicate the TPU eval wiring (pillar-table stats + fused norm
+    # epilogue, interpret mode) and pin it against the CPU encoder output
+    from mask_bev_tpu.ops.stream_pillars import (
+        gather_at_starts, pillarize_stream_batch)
+    from mask_bev_tpu.models.encoder import PillarFeatureNet
+
+    h, w = cfg.grid_hw
+    sp = pillarize_stream_batch(
+        jnp.asarray(pts), jnp.asarray(mask),
+        x_range=cfg.x_range, y_range=cfg.y_range, z_range=cfg.z_range,
+        voxel_size=cfg.voxel_size, max_points_per_pillar=cfg.max_num_points,
+        max_pillars=cfg.max_num_pillars)
+    pfn = PillarFeatureNet(
+        feat_channels=tuple(cfg.encoder_feat_channels),
+        x_range=cfg.x_range, y_range=cfg.y_range, z_range=cfg.z_range,
+        voxel_size=cfg.voxel_size,
+        max_points_per_pillar=cfg.max_num_points, use_pallas=False)
+    pf = pfn.apply(
+        {"params": v["params"]["encoder"]["pillar_feature_net"],
+         "batch_stats":
+             v["batch_stats"]["encoder"]["pillar_feature_net"]},
+        sp, train=False)
+    pf32 = jnp.where(sp.valid[..., None], pf.astype(jnp.float32), 0.0)
+    elems = float(h * w * pf.shape[-1])
+    mean = pf32.sum(axis=(1, 2)) / elems
+    var = jnp.square(pf32).sum(axis=(1, 2)) / elems - jnp.square(mean)
+    cells = jnp.where(
+        sp.valid, sp.coords[..., 0] * w + sp.coords[..., 1], h * w)
+    nparams = v["params"]["encoder"]["norm"]
+    fused = canvas_from_table(
+        pf, cells, sp.valid, (h, w), interpret=True,
+        norm_stats=(mean, var),
+        norm_affine=(nparams["scale"], nparams["bias"]))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(enc),
+                               rtol=2e-4, atol=2e-4)
