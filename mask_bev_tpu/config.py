@@ -122,6 +122,9 @@ class MaskBevConfig:
     # 'int8': dynamic int8 quantization of the fused backbone's dense
     # matmuls (2x MXU throughput on v5e; fidelity bounds in ARCHITECTURE.md)
     backbone_quantize: str = "none"
+    # rematerialize backbone blocks in training (recompute instead of
+    # storing activations; bigger global batches fit HBM)
+    remat_backbone: bool = False
     pseudo_image_norm: str = "full"  # 'full' = LayerNorm([C,H,W]) like reference; 'channel' = per-channel
 
     # Unknown YAML keys land here (reference swallows them via **kwargs)

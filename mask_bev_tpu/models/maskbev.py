@@ -62,6 +62,7 @@ class MaskBev(nn.Module):
             use_pallas_block=c.use_pallas_backbone,
             band_layout=c.backbone_band_layout,
             quantize_int8=(c.backbone_quantize == "int8"),
+            remat=c.remat_backbone,
         )
         self.pixel_decoder = PixelDecoder(
             feat_channels=c.head_feat_channels,

@@ -435,6 +435,9 @@ class SwinTransformer(nn.Module):
     # int8 dynamic quantization of the fused blocks' dense matmuls (row
     # layout only; A/B-gated, fidelity documented in ARCHITECTURE.md)
     quantize_int8: bool = False
+    # rematerialize blocks in training (trade recompute for activation
+    # memory; lets bigger global batches fit HBM)
+    remat: bool = False
     # nn.scan deep stages' (unshifted, shifted) block pairs: one compiled
     # pair body instead of `depth` traced blocks (stacked param layout)
     scan_pairs: bool = True
@@ -512,8 +515,13 @@ class SwinTransformer(nn.Module):
                     dpr[block_idx:block_idx + depth],
                     jnp.float32).reshape(depth // 2, 2)
                 block_idx += depth
+                pair_cls = SwinBlockPair
+                if self.remat and train:
+                    pair_cls = nn.remat(
+                        SwinBlockPair,
+                        static_argnums=())  # carry + dps both traced
                 pair = nn.scan(
-                    SwinBlockPair,
+                    pair_cls,
                     variable_axes={"params": 0},
                     split_rngs={"params": True, "dropout": True},
                     in_axes=0, out_axes=0, length=depth // 2,
@@ -547,8 +555,12 @@ class SwinTransformer(nn.Module):
                 continue
 
             blocks = []
+            # remat in training: recompute each block in the backward pass
+            # instead of storing its activations (static args: hw, train)
+            block_cls = (nn.remat(SwinBlock, static_argnums=(2, 3))
+                         if (self.remat and train) else SwinBlock)
             for d in range(depth):
-                blocks.append(SwinBlock(
+                blocks.append(block_cls(
                     dim, self.num_heads[i], self.window,
                     shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
                     drop_path=dpr[block_idx],
@@ -594,7 +606,8 @@ class SwinTransformer(nn.Module):
                 x = xg[:, :hh, :ww].reshape(b, hh * ww, dim)
             else:
                 for blk in blocks:
-                    x = blk(x, hw, train=train)
+                    # positional: remat static_argnums address (hw, train)
+                    x = blk(x, hw, train)
             if i in self.out_indices:
                 y = nn.LayerNorm(name=f"out_norm{i}")(x)
                 outs.append(y.reshape(b, hw[0], hw[1], dim))  # (B, H, W, C)
