@@ -6,6 +6,8 @@ set -u
 OUT=${1:-/tmp/tpu_session_$(date +%H%M)}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# scripts/*.py import the package from the repo root; keep .axon_site (TPU plugin)
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() { # name, cmd...
   local name=$1; shift
