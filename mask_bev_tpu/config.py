@@ -78,6 +78,14 @@ class MaskBevConfig:
     head_num_points: int = 12544  # PointRend sampling
     head_oversample_ratio: float = 3.0
     head_importance_sample_ratio: float = 0.75
+    # loss point-sampling implementation: matmul-form bilinear (MXU) vs
+    # element gather/scatter, which runs at ~62 M elem/s on TPU and made
+    # the f32 train step 9.05 s/step (measurements/r3/train_time.log)
+    loss_sample_dense: bool = True
+    # operand dtype of the sampling matmuls: bfloat16 ~4x the f32 MXU rate
+    # at ~0.4% relative noise on boundary-interpolated values (accumulation
+    # is f32 either way); uncertainty RANKING always runs bf16
+    loss_sample_dtype: str = "float32"  # float32 | bfloat16
     head_cls_weight: float = 2.0
     head_mask_weight: float = 5.0
     head_dice_weight: float = 5.0

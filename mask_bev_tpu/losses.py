@@ -35,7 +35,50 @@ import jax.numpy as jnp
 from mask_bev_tpu.config import MaskBevConfig
 from mask_bev_tpu.models.mask2former import DecoderOutputs
 from mask_bev_tpu.ops.hungarian import match
-from mask_bev_tpu.ops.point_sample import point_sample, uncertain_point_coords
+from mask_bev_tpu.ops.point_sample import (
+    point_sample, point_sample_dense, point_sample_dense_per,
+    uncertain_point_coords)
+
+
+def _largest_divisor_leq(n: int, target: int) -> int:
+    for d in range(max(1, min(n, target)), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+# per-intermediate element budget for chunked dense sampling (f32 elems);
+# bounds the (chunk, P, H) hat/product tensors to ~192 MB each
+_CHUNK_BUDGET = 48 * 1024 * 1024
+
+
+def _sample_cfg(cfg: MaskBevConfig):
+    dense = cfg.loss_sample_dense
+    mm_dtype = (jnp.bfloat16 if cfg.loss_sample_dtype == "bfloat16"
+                else jnp.float32)
+    return dense, mm_dtype
+
+
+def _sample_shared(imgs, pts, cfg):
+    """(N, H, W) at shared (P, 2) -> (N, P), dense on request."""
+    dense, mm_dtype = _sample_cfg(cfg)
+    if not dense:
+        return point_sample(imgs, pts)
+    n, h, _ = imgs.shape
+    chunk = _largest_divisor_leq(
+        pts.shape[0], max(1, _CHUNK_BUDGET // (max(n, 1) * h)))
+    return point_sample_dense(imgs, pts, mm_dtype=mm_dtype, chunk=chunk)
+
+
+def _sample_per(imgs, pts, cfg):
+    """(N, H, W) at per-image (N, P, 2) -> (N, P), dense on request."""
+    dense, mm_dtype = _sample_cfg(cfg)
+    if not dense:
+        return jax.vmap(point_sample)(imgs, pts)
+    n, h, _ = imgs.shape
+    chunk = _largest_divisor_leq(
+        n, max(1, _CHUNK_BUDGET // (pts.shape[1] * h)))
+    return point_sample_dense_per(imgs, pts, mm_dtype=mm_dtype, chunk=chunk)
 
 
 class MatchResult(NamedTuple):
@@ -90,8 +133,14 @@ def match_layer(
     num_pts = cfg.head_num_points
 
     def per_image(pts, cls_l, mask_l, labels, masks, valid):
-        pred_pts = point_sample(mask_l, pts)  # (Q, P)
-        gt_pts = point_sample(masks, pts)  # (G, P)
+        # matching is discrete (no gradient flows through the assignment —
+        # the reference's HungarianAssigner runs under no_grad); cutting the
+        # tape here prunes the cost construction (incl. the dense-sampling
+        # hat matrices) from the backward entirely
+        cls_l = jax.lax.stop_gradient(cls_l)
+        mask_l = jax.lax.stop_gradient(mask_l)
+        pred_pts = _sample_shared(mask_l, pts, cfg)  # (Q, P)
+        gt_pts = _sample_shared(masks, pts, cfg)  # (G, P)
         scores = jax.nn.softmax(cls_l, axis=-1)
         cost_cls = -scores[:, labels]  # (Q, G)
         cost_mask = _binary_ce_cost(pred_pts, gt_pts)
@@ -151,19 +200,26 @@ def layer_losses(
 
     # --- mask + dice on uncertainty-sampled points ---
     flat_masks = mask_logits.reshape(b * q, *mask_logits.shape[2:])
+    dense, _ = _sample_cfg(cfg)
     if loss_coords is None:
+        n_over = int(cfg.head_num_points * cfg.head_oversample_ratio)
         coords = uncertain_point_coords(
             rng_pts, jax.lax.stop_gradient(flat_masks), cfg.head_num_points,
-            cfg.head_oversample_ratio, cfg.head_importance_sample_ratio)
+            cfg.head_oversample_ratio, cfg.head_importance_sample_ratio,
+            # uncertainty values only rank points: bf16 matmuls are safe
+            dense=dense, mm_dtype=jnp.bfloat16,
+            chunk=_largest_divisor_leq(
+                b * q, max(1, _CHUNK_BUDGET
+                           // (n_over * mask_logits.shape[-2]))))
     else:
         coords = loss_coords
-    pred_pts = jax.vmap(point_sample)(flat_masks, coords)  # (B*Q, P)
+    pred_pts = _sample_per(flat_masks, coords, cfg)  # (B*Q, P)
     # target mask per query: matched gt mask (zeros when unmatched; weighted out)
     tgt = jnp.take_along_axis(
         gt_masks.astype(mask_logits.dtype),
         safe_gt[..., None, None], axis=1)  # (B, Q, H, W)
     flat_tgt = tgt.reshape(b * q, *tgt.shape[2:])
-    tgt_pts = jax.vmap(point_sample)(flat_tgt, coords)
+    tgt_pts = _sample_per(flat_tgt, coords, cfg)
     wmask = mr.matched.reshape(-1).astype(jnp.float32)  # (B*Q,)
 
     p = pred_pts.shape[-1]  # actual sampled points (== cfg.head_num_points
@@ -222,12 +278,18 @@ def maskbev_loss(
             gt_heights, cfg)
         return losses
 
+    # layers run SEQUENTIALLY (lax.map, not vmap): the dense point-sampling
+    # intermediates are per-layer GB-scale; vmapping all L+1 head passes
+    # multiplies the transient footprint by the layer count
     if outputs.height_logits is not None:
-        losses = jax.vmap(one_layer)(
-            keys, outputs.cls_logits, outputs.mask_logits, outputs.height_logits)
+        losses = jax.lax.map(
+            lambda a: one_layer(*a),
+            (keys, outputs.cls_logits, outputs.mask_logits,
+             outputs.height_logits))
     else:
-        losses = jax.vmap(lambda k, c, m: one_layer(k, c, m, None))(
-            keys, outputs.cls_logits, outputs.mask_logits)
+        losses = jax.lax.map(
+            lambda a: one_layer(a[0], a[1], a[2], None),
+            (keys, outputs.cls_logits, outputs.mask_logits))
 
     # reference sums every '*loss*' entry across layers (mask_bev_module.py:193-195)
     total = sum(v.sum() for v in losses.values())

@@ -260,7 +260,9 @@ class SwinBlock(nn.Module):
         keep = 1.0 - (self.drop_path if dp is None else dp)
         rng = self.make_rng("dropout")
         mask = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1))
-        return y * mask.astype(y.dtype) / keep
+        # scale in f32, cast back: a traced f32 `keep` must not upcast a
+        # bf16 residual (scan carries require a dtype-stable block output)
+        return y * (mask / keep).astype(y.dtype)
 
     def __call__(self, x, hw, train: bool = True, drop_path=None):
         shortcut = x

@@ -10,6 +10,8 @@ rest uniformly).
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
@@ -47,12 +49,107 @@ def point_sample(img: jax.Array, coords: jax.Array) -> jax.Array:
     return top * (1 - wy1) + bot * wy1
 
 
+def _hat_weights(t: jax.Array, n: int, dtype) -> jax.Array:
+    """(P,) continuous grid coords -> (P, n) bilinear hat weights.
+
+    ``w[p, i] = max(0, 1 - |t_p - i|)``: the dense-matrix form of bilinear
+    interpolation with zero padding (out-of-range mass simply has no row to
+    land on, matching torch ``grid_sample`` zero-padding semantics).
+    """
+    idx = jnp.arange(n, dtype=jnp.float32)
+    w = 1.0 - jnp.abs(t[:, None] - idx[None, :])
+    return jnp.maximum(w, 0.0).astype(dtype)
+
+
+def _dense_one(img: jax.Array, coords: jax.Array, mm_dtype) -> jax.Array:
+    """Matmul-form bilinear sample of one (H, W) image at (P, 2) coords."""
+    h, w = img.shape
+    ry = _hat_weights(coords[:, 1] * h - 0.5, h, mm_dtype)  # (P, H)
+    cx = _hat_weights(coords[:, 0] * w - 0.5, w, mm_dtype)  # (P, W)
+    t = jnp.einsum("ph,hw->pw", ry, img.astype(mm_dtype),
+                   preferred_element_type=jnp.float32)  # (P, W)
+    return jnp.einsum("pw,pw->p", t, cx.astype(jnp.float32))
+
+
+def _chunked_map(fn, xs_tree, p: int, chunk: Optional[int]):
+    """lax.map ``fn`` over length-``p`` leading-axis chunks of ``xs_tree``.
+
+    The body is rematerialized (``jax.checkpoint``): without it, lax.map's
+    backward STACKS each chunk's residuals — the (chunk, P, H) hat matrices
+    would come back as a full (N, P, H) tensor (GBs at flagship shapes),
+    defeating the chunking. Recomputing the hats is elementwise-cheap.
+    """
+    if not chunk or chunk >= p or p % chunk != 0:
+        return jax.checkpoint(fn)(xs_tree)
+    k = p // chunk
+    xs = jax.tree.map(
+        lambda a: a.reshape((k, chunk) + a.shape[1:]), xs_tree)
+    out = jax.lax.map(jax.checkpoint(fn), xs)
+    return jax.tree.map(
+        lambda a: a.reshape((p,) + a.shape[2:]), out)
+
+
+def point_sample_dense(imgs: jax.Array, coords: jax.Array,
+                       mm_dtype=jnp.float32,
+                       chunk: Optional[int] = None) -> jax.Array:
+    """Sample N images at SHARED coords via hat-weight matmuls: (N, P).
+
+    Same values as :func:`point_sample` (the hat construction
+    ``max(0, 1-|t-i|)`` reproduces bilinear weights exactly, including
+    zero padding — out-of-range mass has no row to land on), but both the
+    forward and its autodiff backward are MXU matmuls instead of XLA's
+    element gather/scatter, which run at ~62 M elem/s on TPU and made the
+    f32 train step 9.05 s (measurements/r3/train_time.log + trace).
+
+    Args:
+      imgs: (N, H, W); coords: (P, 2) normalized, shared across images.
+      mm_dtype: matmul operand dtype. ``bfloat16`` quadruples MXU rate at
+        ~0.4% relative noise on sampled values (accumulation stays f32).
+      chunk: evaluate P in sequential chunks of this size (bounds the
+        (N, chunk, H)-shaped intermediates; chunk must divide P).
+    """
+    n_img = imgs.shape[0]
+    p = coords.shape[0]
+    h, w = imgs.shape[-2:]
+
+    def on_chunk(pts):
+        ry = _hat_weights(pts[:, 1] * h - 0.5, h, mm_dtype)  # (p, H)
+        cx = _hat_weights(pts[:, 0] * w - 0.5, w, mm_dtype)  # (p, W)
+        t = jnp.einsum("ph,nhw->npw", ry, imgs.astype(mm_dtype),
+                       preferred_element_type=jnp.float32)
+        return jnp.einsum("npw,pw->np", t, cx.astype(jnp.float32))
+
+    if not chunk or chunk >= p or p % chunk != 0:
+        return jax.checkpoint(on_chunk)(coords)
+    out = jax.lax.map(jax.checkpoint(on_chunk),
+                      coords.reshape(p // chunk, chunk, 2))
+    return out.transpose(1, 0, 2).reshape(n_img, p)  # (K, N, c) -> (N, P)
+
+
+def point_sample_dense_per(imgs: jax.Array, coords: jax.Array,
+                           mm_dtype=jnp.float32,
+                           chunk: Optional[int] = None) -> jax.Array:
+    """Per-image-coords variant: (N, H, W) x (N, P, 2) -> (N, P).
+
+    ``chunk`` bounds memory by mapping sequential chunks of the N axis
+    (each chunk materializes (chunk, P, H) hat matrices).
+    """
+    def on_chunk(args):
+        im, pts = args
+        return jax.vmap(lambda i, p: _dense_one(i, p, mm_dtype))(im, pts)
+
+    return _chunked_map(on_chunk, (imgs, coords), imgs.shape[0], chunk)
+
+
 def uncertain_point_coords(
     rng: jax.Array,
     mask_logits: jax.Array,
     num_points: int,
     oversample_ratio: float = 3.0,
     importance_sample_ratio: float = 0.75,
+    dense: bool = False,
+    mm_dtype=jnp.float32,
+    chunk: Optional[int] = None,
 ) -> jax.Array:
     """Per-mask point coords biased toward uncertain (near-boundary) logits.
 
@@ -60,6 +157,8 @@ def uncertain_point_coords(
       rng: PRNG key.
       mask_logits: (M, H, W) per-mask logits.
       num_points: points to return per mask.
+      dense: sample via matmul-form bilinear (the TPU path; values only
+        RANK points here, so ``mm_dtype=bfloat16`` is safe).
     Returns:
       (M, num_points, 2) coords in [0,1]² (x, y).
     """
@@ -70,7 +169,11 @@ def uncertain_point_coords(
     k1, k2 = jax.random.split(rng)
 
     coords = jax.random.uniform(k1, (m, n_sampled, 2))
-    logits = jax.vmap(point_sample)(mask_logits, coords)  # (M, n_sampled)
+    if dense:
+        logits = point_sample_dense_per(
+            mask_logits, coords, mm_dtype=mm_dtype, chunk=chunk)
+    else:
+        logits = jax.vmap(point_sample)(mask_logits, coords)  # (M, n_sampled)
     uncertainty = -jnp.abs(logits)
     _, idx = jax.lax.top_k(uncertainty, n_uncertain)
     picked = jnp.take_along_axis(coords, idx[..., None], axis=1)

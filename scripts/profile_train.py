@@ -15,7 +15,8 @@ import time
 import numpy as np
 
 
-def run(compute_dtype: str, batch: int, iters: int, n_points: int) -> float:
+def run(compute_dtype: str, batch: int, iters: int, n_points: int,
+        trace_dir: str | None = None) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -48,9 +49,16 @@ def run(compute_dtype: str, batch: int, iters: int, n_points: int) -> float:
         state, logs, _ = step(state, s, key)
     float(logs["loss"])
     t0 = time.time()
-    for i in range(iters):
-        state, logs, _ = step(state, staged[i % 3], key)
-    float(logs["loss"])
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            for i in range(iters):
+                state, logs, _ = step(state, staged[i % 3], key)
+            float(logs["loss"])
+        print(f"trace written to {trace_dir}")
+    else:
+        for i in range(iters):
+            state, logs, _ = step(state, staged[i % 3], key)
+        float(logs["loss"])
     ms = (time.time() - t0) / iters * 1e3
     print(f"train step [{compute_dtype:9s}] b{batch}: {ms:8.2f} ms/step "
           f"({ms / batch:.2f} ms/scan, compile {compile_s:.1f}s, "
@@ -64,9 +72,11 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--points", type=int, default=131072)
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    ap.add_argument("--trace", type=str, default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed window")
     args = ap.parse_args()
     for d in args.dtypes.split(","):
-        run(d, args.batch, args.iters, args.points)
+        run(d, args.batch, args.iters, args.points, trace_dir=args.trace)
 
 
 if __name__ == "__main__":

@@ -55,3 +55,28 @@ def test_scanned_pairs_train_runs():
     out = m.apply(variables, x, train=True,
                   rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.isfinite(np.asarray(out[0])).all()
+
+
+def test_scanned_pairs_train_bf16_dtype_stable():
+    """bf16 scan carry: block outputs must keep the input dtype.
+
+    Regression: drop-path scaled by a traced f32 `keep`, upcasting the
+    bf16 residual to f32 and breaking the nn.scan carry contract
+    (measurements/r3/train_time.log).
+    """
+    kw = dict(embed_dim=16, depths=(4,), num_heads=(2,), window=4,
+              out_indices=(0,), drop_path_rate=0.2,
+              use_pallas=False, use_pallas_block=False)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.bfloat16)
+    m = SwinTransformer(scan_pairs=True, **kw)
+    variables = m.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+    bf16_vars = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if jnp.issubdtype(a.dtype, jnp.floating) else a, variables)
+    out = m.apply(bf16_vars, x, train=True,
+                  rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out[0].dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(out[0], np.float32)).all()
