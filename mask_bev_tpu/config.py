@@ -84,8 +84,18 @@ class MaskBevConfig:
     loss_sample_dense: bool = True
     # operand dtype of the sampling matmuls: bfloat16 ~4x the f32 MXU rate
     # at ~0.4% relative noise on boundary-interpolated values (accumulation
-    # is f32 either way); uncertainty RANKING always runs bf16
-    loss_sample_dtype: str = "float32"  # float32 | bfloat16
+    # is f32 either way); uncertainty RANKING always runs bf16.
+    # "auto" follows compute_dtype: the 500-grid GT sampling alone is
+    # ~2.3 TFLOP/layer, so f32 operands put ~24 TFLOP of quarter-rate
+    # matmuls in every train step (see measurements/r3/train_time.log)
+    loss_sample_dtype: str = "auto"  # auto | float32 | bfloat16
+    # sample GT masks through per-instance square crops of this size
+    # (0 = off). EXACT whenever every instance's mask bbox fits the crop
+    # (out-of-crop hat mass lands on zeros): 128 px = 20.5 m at 0.16 m
+    # resolution, generous for any vehicle footprint. Cuts the dominant
+    # (H*W)-proportional GT-sampling matmul FLOPs ~15x on the 500 grid and
+    # skips materializing per-query (B, Q, H, W) target masks.
+    loss_gt_crop: int = 128
     head_cls_weight: float = 2.0
     head_mask_weight: float = 5.0
     head_dice_weight: float = 5.0

@@ -54,8 +54,10 @@ _CHUNK_BUDGET = 48 * 1024 * 1024
 
 def _sample_cfg(cfg: MaskBevConfig):
     dense = cfg.loss_sample_dense
-    mm_dtype = (jnp.bfloat16 if cfg.loss_sample_dtype == "bfloat16"
-                else jnp.float32)
+    dtype = cfg.loss_sample_dtype
+    if dtype == "auto":  # follow the model's compute dtype
+        dtype = cfg.compute_dtype
+    mm_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     return dense, mm_dtype
 
 
@@ -84,6 +86,71 @@ def _sample_per(imgs, pts, cfg):
 class MatchResult(NamedTuple):
     gt_of_query: jax.Array  # (..., Q) int32, -1 = unmatched
     matched: jax.Array  # (..., Q) bool
+
+
+def _gt_crop_size(cfg: MaskBevConfig, gt_hw) -> int:
+    """Active GT-crop size, or 0 when disabled / grid too small to matter."""
+    s = cfg.loss_gt_crop
+    if s and s < min(int(gt_hw[0]), int(gt_hw[1])):
+        return int(s)
+    return 0
+
+
+def gt_crops(gt_masks: jax.Array, crop: int):
+    """Per-instance square crops of binary GT masks, centered on the bbox.
+
+    Sampling a GT mask through its crop is EXACT whenever the instance's
+    bbox fits inside the crop: the mask is zero outside its bbox, so any
+    hat-weight mass falling off the crop lands on zeros in the full-grid
+    sample too. GT masks are fixed across the L+1 deeply-supervised head
+    passes, so crops are computed once per step.
+
+    Args:
+      gt_masks: (B, G, H, W) binary (bool or {0,1} float).
+      crop: S, the static crop size (must be <= min(H, W)).
+    Returns:
+      crops: (B, G, S, S) float32; origins: (B, G, 2) int32 (oy, ox).
+    """
+    b, g, h, w = gt_masks.shape
+    on = gt_masks > 0
+    rows = on.any(-1)  # (B, G, H)
+    cols = on.any(-2)  # (B, G, W)
+
+    def span(v, n):
+        first = jnp.argmax(v, -1)
+        last = n - 1 - jnp.argmax(v[..., ::-1], -1)
+        return first, last
+
+    y0, y1 = span(rows, h)
+    x0, x1 = span(cols, w)
+    oy = jnp.clip((y0 + y1 + 1 - crop) // 2, 0, h - crop).astype(jnp.int32)
+    ox = jnp.clip((x0 + x1 + 1 - crop) // 2, 0, w - crop).astype(jnp.int32)
+
+    def slice_one(img, sy, sx):
+        return jax.lax.dynamic_slice(
+            img.astype(jnp.float32), (sy, sx), (crop, crop))
+
+    crops = jax.vmap(jax.vmap(slice_one))(gt_masks, oy, ox)
+    return crops, jnp.stack([oy, ox], axis=-1)
+
+
+def _crop_local_coords(pts, origins, gt_hw, s: int):
+    """Normalized full-grid coords -> crop-local normalized coords.
+
+    ``sample(full, p) == sample(crop, local(p))`` for bilinear sampling with
+    zero padding, given the mask is zero outside the crop: the continuous
+    sample position ``x*W - 0.5`` shifts by the crop origin and rescales.
+
+    Args:
+      pts: (..., P, 2) (x, y) in [0, 1] over the full (H, W) grid.
+      origins: (..., 2) int (oy, ox); broadcasts against ``pts``'s batch dims.
+    Returns:
+      (..., P, 2) coords for sampling the (S, S) crops.
+    """
+    h, w = gt_hw
+    scale = jnp.asarray([w, h], pts.dtype)
+    off = origins[..., None, ::-1].astype(pts.dtype)  # (..., 1, 2) = (ox, oy)
+    return (pts * scale - off) / s
 
 
 def _binary_ce_cost(pred_logits_pts, gt_pts):
@@ -127,12 +194,14 @@ def match_layer(
     gt_valid: jax.Array,  # (B, G) bool
     cfg: MaskBevConfig,
     match_coords: Optional[jax.Array] = None,  # (B, P, 2) test injection
+    gt_crop: Optional[Tuple[jax.Array, jax.Array]] = None,  # (crops, origins)
 ) -> MatchResult:
     """Hungarian matching for one head pass over the batch."""
     b = cls_logits.shape[0]
     num_pts = cfg.head_num_points
+    gt_hw = gt_masks.shape[-2:]
 
-    def per_image(pts, cls_l, mask_l, labels, masks, valid):
+    def per_image(pts, cls_l, mask_l, labels, masks, valid, crop_pair):
         # matching is discrete (no gradient flows through the assignment —
         # the reference's HungarianAssigner runs under no_grad); cutting the
         # tape here prunes the cost construction (incl. the dense-sampling
@@ -140,7 +209,13 @@ def match_layer(
         cls_l = jax.lax.stop_gradient(cls_l)
         mask_l = jax.lax.stop_gradient(mask_l)
         pred_pts = _sample_shared(mask_l, pts, cfg)  # (Q, P)
-        gt_pts = _sample_shared(masks, pts, cfg)  # (G, P)
+        if crop_pair is not None:
+            crops, origins = crop_pair  # (G, S, S), (G, 2)
+            loc = _crop_local_coords(
+                pts[None], origins, gt_hw, crops.shape[-1])  # (G, P, 2)
+            gt_pts = _sample_per(crops, loc, cfg)  # (G, P)
+        else:
+            gt_pts = _sample_shared(masks, pts, cfg)  # (G, P)
         scores = jax.nn.softmax(cls_l, axis=-1)
         cost_cls = -scores[:, labels]  # (Q, G)
         cost_mask = _binary_ce_cost(pred_pts, gt_pts)
@@ -156,9 +231,17 @@ def match_layer(
         keys = jax.random.split(rng, b)
         match_coords = jax.vmap(
             lambda k: jax.random.uniform(k, (num_pts, 2)))(keys)
-    gt_of_query, matched = jax.vmap(per_image)(
-        match_coords, cls_logits, mask_logits, gt_labels,
-        gt_masks.astype(mask_logits.dtype), gt_valid)
+    if gt_crop is not None:
+        gt_of_query, matched = jax.vmap(
+            lambda p, c, m, l, v, cr, o: per_image(
+                p, c, m, l, None, v, (cr, o)))(
+            match_coords, cls_logits, mask_logits, gt_labels, gt_valid,
+            gt_crop[0], gt_crop[1])
+    else:
+        gt_of_query, matched = jax.vmap(
+            lambda p, c, m, l, ms, v: per_image(p, c, m, l, ms, v, None))(
+            match_coords, cls_logits, mask_logits, gt_labels,
+            gt_masks.astype(mask_logits.dtype), gt_valid)
     return MatchResult(gt_of_query, matched)
 
 
@@ -174,6 +257,7 @@ def layer_losses(
     cfg: MaskBevConfig,
     match_coords: Optional[jax.Array] = None,  # (B, P, 2) test injection
     loss_coords: Optional[jax.Array] = None,  # (B*Q, P, 2) test injection
+    gt_crop: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Tuple[Dict[str, jax.Array], MatchResult]:
     """Losses for one head pass. All reductions use GLOBAL batch statistics."""
     # loss math stays float32 regardless of compute_dtype: the point-sampled
@@ -181,10 +265,13 @@ def layer_losses(
     mask_logits = mask_logits.astype(jnp.float32)
     b, q = cls_logits.shape[:2]
     k = cfg.head_num_classes
+    gt_hw = gt_masks.shape[-2:]
+    if gt_crop is None and _gt_crop_size(cfg, gt_hw):
+        gt_crop = gt_crops(gt_masks, _gt_crop_size(cfg, gt_hw))
     rng_match, rng_pts = jax.random.split(rng)
     mr = match_layer(
         rng_match, cls_logits, mask_logits, gt_labels, gt_masks, gt_valid,
-        cfg, match_coords=match_coords)
+        cfg, match_coords=match_coords, gt_crop=gt_crop)
 
     num_total_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
 
@@ -215,11 +302,23 @@ def layer_losses(
         coords = loss_coords
     pred_pts = _sample_per(flat_masks, coords, cfg)  # (B*Q, P)
     # target mask per query: matched gt mask (zeros when unmatched; weighted out)
-    tgt = jnp.take_along_axis(
-        gt_masks.astype(mask_logits.dtype),
-        safe_gt[..., None, None], axis=1)  # (B, Q, H, W)
-    flat_tgt = tgt.reshape(b * q, *tgt.shape[2:])
-    tgt_pts = _sample_per(flat_tgt, coords, cfg)
+    if gt_crop is not None:
+        crops, origins = gt_crop
+        s = crops.shape[-1]
+        q_crops = jnp.take_along_axis(
+            crops, safe_gt[..., None, None], axis=1)  # (B, Q, S, S)
+        q_orig = jnp.take_along_axis(
+            origins, safe_gt[..., None], axis=1)  # (B, Q, 2)
+        loc = _crop_local_coords(
+            coords.reshape(b, q, -1, 2), q_orig, gt_hw, s)
+        tgt_pts = _sample_per(
+            q_crops.reshape(b * q, s, s), loc.reshape(b * q, -1, 2), cfg)
+    else:
+        tgt = jnp.take_along_axis(
+            gt_masks.astype(mask_logits.dtype),
+            safe_gt[..., None, None], axis=1)  # (B, Q, H, W)
+        flat_tgt = tgt.reshape(b * q, *tgt.shape[2:])
+        tgt_pts = _sample_per(flat_tgt, coords, cfg)
     wmask = mr.matched.reshape(-1).astype(jnp.float32)  # (B*Q,)
 
     p = pred_pts.shape[-1]  # actual sampled points (== cfg.head_num_points
@@ -272,10 +371,15 @@ def maskbev_loss(
     num_layers = outputs.cls_logits.shape[0]
     keys = jax.random.split(rng, num_layers)
 
+    # GT masks are layer-invariant: compute per-instance crops ONCE and let
+    # every deeply-supervised layer sample through them (see gt_crops)
+    s = _gt_crop_size(cfg, gt_masks.shape[-2:])
+    gt_crop = gt_crops(gt_masks, s) if s else None
+
     def one_layer(key, cls_l, mask_l, height_l):
         losses, _ = layer_losses(
             key, cls_l, mask_l, height_l, gt_labels, gt_masks, gt_valid,
-            gt_heights, cfg)
+            gt_heights, cfg, gt_crop=gt_crop)
         return losses
 
     # layers run SEQUENTIALLY (lax.map, not vmap): the dense point-sampling

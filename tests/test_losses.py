@@ -101,3 +101,60 @@ def test_train_step_decreases_loss(rng):
         losses.append(float(logs["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_loss_sample_dtype_auto_follows_compute_dtype():
+    """'auto' resolves to the model compute dtype; explicit values win."""
+    from mask_bev_tpu.losses import _sample_cfg
+
+    cfg = tiny_test_config()
+    assert _sample_cfg(cfg.replace(
+        loss_sample_dtype="auto", compute_dtype="bfloat16"))[1] == jnp.bfloat16
+    assert _sample_cfg(cfg.replace(
+        loss_sample_dtype="auto", compute_dtype="float32"))[1] == jnp.float32
+    assert _sample_cfg(cfg.replace(
+        loss_sample_dtype="float32", compute_dtype="bfloat16"))[1] == jnp.float32
+    assert _sample_cfg(cfg.replace(
+        loss_sample_dtype="bfloat16", compute_dtype="float32"))[1] == jnp.bfloat16
+
+
+def test_gt_crop_sampling_exact(rng):
+    """Crop-local sampling == full-grid sampling when the bbox fits the crop."""
+    from mask_bev_tpu.losses import _crop_local_coords, gt_crops
+    from mask_bev_tpu.ops.point_sample import point_sample
+
+    h = w = 64
+    masks = np.zeros((2, 3, h, w), np.float32)
+    masks[0, 0, 5:20, 40:60] = 1.0
+    masks[0, 1, 50:63, 1:25] = 1.0   # touches the grid edge
+    masks[1, 0, 30:34, 30:34] = 1.0  # tiny blob
+    # masks[0, 2] / masks[1, 1:] stay empty
+    crops, origins = gt_crops(jnp.asarray(masks), 32)
+    assert crops.shape == (2, 3, 32, 32)
+    pts = jnp.asarray(rng.uniform(size=(257, 2)).astype(np.float32))
+    for b in range(2):
+        for g in range(3):
+            ref = point_sample(jnp.asarray(masks[b, g]), pts)
+            loc = _crop_local_coords(pts, origins[b, g], (h, w), 32)
+            got = point_sample(crops[b, g], loc)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_layer_losses_gt_crop_equivalence(rng):
+    """Crop-path losses match the full-grid path (bboxes fit the crop)."""
+    hw = 16  # gt grid = 32; crop 16
+    cls_l, mask_l, labels, masks, valid = _toy_inputs(rng, hw=hw)
+    key = jax.random.PRNGKey(3)
+    base = tiny_test_config().replace(head_num_points=64)
+    ref, mr_ref = layer_losses(
+        key, cls_l, mask_l, None, labels, masks, valid, None,
+        base.replace(loss_gt_crop=0))
+    got, mr = layer_losses(
+        key, cls_l, mask_l, None, labels, masks, valid, None,
+        base.replace(loss_gt_crop=16))
+    np.testing.assert_array_equal(
+        np.asarray(mr.gt_of_query), np.asarray(mr_ref.gt_of_query))
+    for k in ref:
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=2e-4, atol=1e-6), k
