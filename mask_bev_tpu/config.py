@@ -95,6 +95,13 @@ class MaskBevConfig:
     # resolution, generous for any vehicle footprint. Cuts the dominant
     # (H*W)-proportional GT-sampling matmul FLOPs ~15x on the 500 grid and
     # skips materializing per-query (B, Q, H, W) target masks.
+    # FAILURE MODE: an instance bbox LARGER than the crop is silently
+    # truncated — its loss targets sample as zeros outside the crop. The
+    # knob is in PIXELS: at finer grid resolutions the same value covers
+    # less physical extent (128 px is only 10.2 m at 0.08 m/px). Size it as
+    # ceil(max_footprint_m / voxel_size) — e.g. 25 m trams at 0.16 m/px
+    # need >=157 — or watch the `gt_crop_truncated` train-log counter,
+    # which counts affected instances every step (any nonzero = too small).
     loss_gt_crop: int = 128
     head_cls_weight: float = 2.0
     head_mask_weight: float = 5.0

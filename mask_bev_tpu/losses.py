@@ -105,11 +105,19 @@ def gt_crops(gt_masks: jax.Array, crop: int):
     sample too. GT masks are fixed across the L+1 deeply-supervised head
     passes, so crops are computed once per step.
 
+    An instance whose bbox EXCEEDS the crop is silently truncated (its
+    out-of-crop mass samples as zeros), corrupting its matching costs and
+    mask/dice targets — callers must size the crop from the physical extent
+    of the largest expected footprint (see ``MaskBevConfig.loss_gt_crop``).
+    The per-instance ``truncated`` flag returned here feeds the
+    ``gt_crop_truncated`` train-log counter so misconfiguration is visible.
+
     Args:
       gt_masks: (B, G, H, W) binary (bool or {0,1} float).
       crop: S, the static crop size (must be <= min(H, W)).
     Returns:
-      crops: (B, G, S, S) float32; origins: (B, G, 2) int32 (oy, ox).
+      crops: (B, G, S, S) float32; origins: (B, G, 2) int32 (oy, ox);
+      truncated: (B, G) bool, True where the instance bbox exceeds the crop.
     """
     b, g, h, w = gt_masks.shape
     on = gt_masks > 0
@@ -131,7 +139,8 @@ def gt_crops(gt_masks: jax.Array, crop: int):
             img.astype(jnp.float32), (sy, sx), (crop, crop))
 
     crops = jax.vmap(jax.vmap(slice_one))(gt_masks, oy, ox)
-    return crops, jnp.stack([oy, ox], axis=-1)
+    truncated = ((y1 - y0 + 1 > crop) | (x1 - x0 + 1 > crop)) & on.any((-2, -1))
+    return crops, jnp.stack([oy, ox], axis=-1), truncated
 
 
 def _crop_local_coords(pts, origins, gt_hw, s: int):
@@ -267,7 +276,7 @@ def layer_losses(
     k = cfg.head_num_classes
     gt_hw = gt_masks.shape[-2:]
     if gt_crop is None and _gt_crop_size(cfg, gt_hw):
-        gt_crop = gt_crops(gt_masks, _gt_crop_size(cfg, gt_hw))
+        gt_crop = gt_crops(gt_masks, _gt_crop_size(cfg, gt_hw))[:2]
     rng_match, rng_pts = jax.random.split(rng)
     mr = match_layer(
         rng_match, cls_logits, mask_logits, gt_labels, gt_masks, gt_valid,
@@ -374,7 +383,11 @@ def maskbev_loss(
     # GT masks are layer-invariant: compute per-instance crops ONCE and let
     # every deeply-supervised layer sample through them (see gt_crops)
     s = _gt_crop_size(cfg, gt_masks.shape[-2:])
-    gt_crop = gt_crops(gt_masks, s) if s else None
+    truncated = None
+    gt_crop = None
+    if s:
+        crops, origins, truncated = gt_crops(gt_masks, s)
+        gt_crop = (crops, origins)
 
     def one_layer(key, cls_l, mask_l, height_l):
         losses, _ = layer_losses(
@@ -400,4 +413,10 @@ def maskbev_loss(
     logs = {f"{name}_layers": v for name, v in losses.items()}
     logs.update({name: v.sum() for name, v in losses.items()})
     logs["loss"] = total
+    if truncated is not None:
+        # instances whose bbox exceeds loss_gt_crop: their loss targets are
+        # silently truncated — any nonzero here means the crop is too small
+        # for the dataset (raise loss_gt_crop or lower the grid resolution)
+        logs["gt_crop_truncated"] = (
+            truncated & (gt_valid > 0)).sum().astype(jnp.float32)
     return total, logs

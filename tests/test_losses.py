@@ -129,8 +129,14 @@ def test_gt_crop_sampling_exact(rng):
     masks[0, 1, 50:63, 1:25] = 1.0   # touches the grid edge
     masks[1, 0, 30:34, 30:34] = 1.0  # tiny blob
     # masks[0, 2] / masks[1, 1:] stay empty
-    crops, origins = gt_crops(jnp.asarray(masks), 32)
+    crops, origins, truncated = gt_crops(jnp.asarray(masks), 32)
     assert crops.shape == (2, 3, 32, 32)
+    assert not np.asarray(truncated).any()
+    # a bbox exceeding the crop is flagged (and only it; empties are not)
+    wide = np.zeros((1, 2, h, w), np.float32)
+    wide[0, 0, 10:20, 5:45] = 1.0  # 40 px wide > 32 crop
+    _, _, tr = gt_crops(jnp.asarray(wide), 32)
+    np.testing.assert_array_equal(np.asarray(tr), [[True, False]])
     pts = jnp.asarray(rng.uniform(size=(257, 2)).astype(np.float32))
     for b in range(2):
         for g in range(3):
@@ -157,4 +163,4 @@ def test_layer_losses_gt_crop_equivalence(rng):
         np.asarray(mr.gt_of_query), np.asarray(mr_ref.gt_of_query))
     for k in ref:
         np.testing.assert_allclose(
-            float(got[k]), float(ref[k]), rtol=2e-4, atol=1e-6), k
+            float(got[k]), float(ref[k]), rtol=2e-4, atol=1e-6, err_msg=k)
