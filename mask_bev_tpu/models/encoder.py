@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from mask_bev_tpu.ops.stream_pillars import (
     StreamPillars, gather_at_starts, pillarize_stream_batch,
-    windowed_segment_max, windowed_segment_sum)
+    pillarize_stream_packed, windowed_segment_max, windowed_segment_sum)
 from mask_bev_tpu.models.positional import LearnableFourierPositionalEncoding
 
 
@@ -189,6 +189,33 @@ class PillarFeatureNet(nn.Module):
                 and self.point_dim <= 4
                 and jax.default_backend() == "tpu")
 
+    def folded_weights(self):
+        """Per-layer (kernel, bn_scale, bn_bias) with eval-mode BN folded in."""
+        out = []
+        for layer in self.layers:
+            g, bias = layer.norm.folded()
+            out.append((layer.linear.kernel, g, bias))
+        return out
+
+    def fused_slots(self, p8, canvas_pad: int = 0, interpret: bool = False):
+        """Slot-form eval fast path: pid-sorted packed stream (B, 8, N) ->
+        (feats (B,N,C) bf16, cells (B,N) f32, stats (B,2,C)) via ONE Pallas
+        kernel — the pillar directory, table gather and norm-stat passes of
+        the XLA path all live in-kernel (see ops/pallas_pfn.py)."""
+        from mask_bev_tpu.ops.pallas_pfn import fused_stream_pfn_slots
+
+        grid_w = int(round((self.x_range[1] - self.x_range[0])
+                           / self.voxel_size))
+        grid_h = int(round((self.y_range[1] - self.y_range[0])
+                           / self.voxel_size))
+        return fused_stream_pfn_slots(
+            p8, self.folded_weights(),
+            point_dim=min(self.point_dim, 4),
+            with_distance=self.with_distance,
+            k=self.max_points_per_pillar, grid_w=grid_w, grid_h=grid_h,
+            voxel_size=self.voxel_size, x0=self.x_range[0],
+            y0=self.y_range[0], canvas_pad=canvas_pad, interpret=interpret)
+
     def __call__(self, sp: StreamPillars, train: bool = True):
         pts, pid, kept = sp.pts, sp.pid, sp.kept  # (B,N,D), (B,N), (B,N)
         b, n, d = pts.shape
@@ -289,7 +316,7 @@ class PseudoImageNorm(nn.Module):
     eps: float = 1e-3
 
     @nn.compact
-    def __call__(self, x=None, stats=None, fused=None):
+    def __call__(self, x=None, stats=None, fused=None, pre_padded=False):
         """x: (B, H, W, C) canvas — or ``fused=(table, cells, valid,
         grid_hw)`` (eval fast path): the scatter AND the norm run in one
         Pallas kernel, writing the normalized canvas directly (saves a full
@@ -312,7 +339,8 @@ class PseudoImageNorm(nn.Module):
 
             return canvas_from_table(
                 table, cells, valid, grid_hw, norm_stats=stats,
-                norm_affine=(scale, bias), norm_eps=self.eps)
+                norm_affine=(scale, bias), norm_eps=self.eps,
+                pre_padded=pre_padded)
 
         if stats is None:
             xf = x.astype(jnp.float32)  # stats in f32 even under bf16
@@ -361,17 +389,7 @@ class MaskBevEncoder(nn.Module):
     @nn.compact
     def __call__(self, points, point_mask, train: bool = True):
         """points (B, N, D) + mask -> pseudo-image (B, H, W, C) [NHWC]."""
-        sp = pillarize_stream_batch(
-            points,
-            point_mask,
-            x_range=self.x_range,
-            y_range=self.y_range,
-            z_range=self.z_range,
-            voxel_size=self.voxel_size,
-            max_points_per_pillar=self.max_points_per_pillar,
-            max_pillars=self.max_pillars,
-        )
-        pf = PillarFeatureNet(
+        pfn = PillarFeatureNet(
             feat_channels=self.feat_channels,
             x_range=self.x_range,
             y_range=self.y_range,
@@ -383,7 +401,42 @@ class MaskBevEncoder(nn.Module):
             fourier_enc_group=self.fourier_enc_group,
             use_pallas=self.use_pallas,
             name="pillar_feature_net",
-        )(sp, train=train)
+        )
+        from mask_bev_tpu.ops.pallas_canvas import pick_rows_per_block
+
+        h, w = self.grid_hw
+        c = self.feat_channels[-1]
+        if (pfn._can_fuse(train) and c % 128 == 0
+                and pick_rows_per_block(h, w)):
+            # slot-form eval fast path: pid fusion + sort + pack, then the
+            # whole directory/PFN/stats in one kernel and the scatter+norm
+            # in another. NOTE max_pillars does not apply here: every
+            # occupied cell is kept, like the reference voxelizer whose
+            # max_voxels equals the full grid (mask_bev_encoders.py:69)
+            p8 = pillarize_stream_packed(
+                points, point_mask, x_range=self.x_range,
+                y_range=self.y_range, z_range=self.z_range,
+                voxel_size=self.voxel_size)
+            feats, cells, stats = pfn.fused_slots(p8, canvas_pad=512)
+            elems = jnp.float32(h * w * c)
+            mean = stats[:, 0].sum(-1) / elems
+            var = stats[:, 1].sum(-1) / elems - jnp.square(mean)
+            norm = PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")
+            return norm(stats=(mean, var),
+                        fused=(feats, cells.astype(jnp.int32), None,
+                               self.grid_hw), pre_padded=True)
+
+        sp = pillarize_stream_batch(
+            points,
+            point_mask,
+            x_range=self.x_range,
+            y_range=self.y_range,
+            z_range=self.z_range,
+            voxel_size=self.voxel_size,
+            max_points_per_pillar=self.max_points_per_pillar,
+            max_pillars=self.max_pillars,
+        )
+        pf = pfn(sp, train=train)
         # LayerNorm stats computed on the (P, C) pillar table: canvas cells
         # are pooled features or exact zeros, so Σ and Σ² over the canvas
         # equal those over valid pillars — two full-canvas passes saved.

@@ -2,25 +2,34 @@
 
 The XLA path (``models/encoder.py:scatter_to_canvas``) costs ~19 ms/batch-8
 on v5e: an HBM scatter of P scalar slot ids plus a 250k-row HBM gather. The
-TPU-native formulation exploits two facts: (1) pillar slots are sorted by
-cell id (from the stream sort), so the pillars of one canvas row form a
-contiguous slot range locatable with one sparse ``searchsorted`` per sample;
+TPU-native formulation exploits two facts: (1) slots are sorted by cell id
+(from the stream sort), so the slots of one canvas row-block form a
+contiguous range locatable with one sparse ``searchsorted`` per sample;
 (2) the MXU turns scatter into matmul — for a block of canvas cells, the
 output is ``M @ table_chunk`` where ``M[r, j] = (cells[j] == cell r)`` is a
 0/1 selection matrix built with vectorized lane comparisons. No dynamic
 stores, no gathers; HBM traffic is one aligned table chunk per canvas row
 plus the canvas write itself.
 
-The chunk is processed in sub-chunks of 384 slots, each gated on actually
-containing occupied slots (``lo``/``hi`` from the per-block searchsorted):
-a worst-case block can hold rows*W pillars, but a typical 2-canvas-row
-block holds ~130, so the selection matmul usually runs 1 of 3 sub-chunks —
-this alone is ~2x on the kernel.
+Round-4 restructure (the round-3 kernel was ~5.3 ms/b8, ~2.5 ms of which
+was re-reading the 128 MB full-mode LayerNorm affine once per SAMPLE):
+
+* the grid is ``(nblocks, batch)`` — batch iterates INNERMOST, so the
+  per-block affine slabs (and the output-block pipeline) revisit the same
+  block index across the batch and Pallas fetches each 1 MB slab once per
+  block instead of once per (block, sample);
+* the sub-chunk scan is a dynamic ``fori_loop`` with a 2-deep
+  double-buffered manual DMA pipeline: exactly ``ceil((hi-lo)/sub)``
+  chunks are fetched and matmul'd per block (the round-3 kernel statically
+  unrolled the worst case and DMA'd all of it unconditionally). This also
+  removes the static bound on slots-per-block, so the kernel accepts
+  STREAM-sized slot arrays (one slot per sorted point, dup-filled cells,
+  see ``ops/pallas_pfn.fused_stream_pfn_slots``) — the 32k-pillar dense
+  table and its gather/compaction disappear from the eval path entirely.
 
 Mosaic constraints shaping the kernel: manual DMA slices must start at
 lane/sublane-aligned offsets (hinted via ``pl.multiple_of``), so sub-chunks
-are fetched from the 128-aligned floor of the row's first slot with 128
-extra columns of slack.
+are fetched from the 128-aligned floor of the block's first slot.
 """
 from __future__ import annotations
 
@@ -33,61 +42,114 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _canvas_kernel(*refs, rows_per_block: int, width: int, sub: int,
-                   nsub: int, norm: bool, eps: float = 1e-3):
+                   norm: bool, eps: float = 1e-3):
     if norm:
         # fused pseudo-image LayerNorm epilogue (eval path): stats (B, 2)
         # ride SMEM, the per-block affine slabs ride VMEM BlockSpecs
         (lo_ref, stats_ref, table_hbm, cells_hbm, scale_ref, bias_ref,
-         out_ref, tbl_s, cells_s, acc, sems) = refs
+         out_ref, tbl_s, cells_s, pf_tbl, pf_cells, acc, sems, pf_sems) = refs
     else:
         (lo_ref, table_hbm, cells_hbm, out_ref,
-         tbl_s, cells_s, acc, sems) = refs
-    b = pl.program_id(0)
-    blk = pl.program_id(1)
+         tbl_s, cells_s, pf_tbl, pf_cells, acc, sems, pf_sems) = refs
+    blk = pl.program_id(0)
+    b = pl.program_id(1)
+    nblk = pl.num_programs(0)
+    nb = pl.num_programs(1)
     rw = rows_per_block * width
     base = blk * rw
 
     lo = lo_ref[b, blk]
     hi = lo_ref[b, blk + 1]
     start = pl.multiple_of((lo // 128) * 128, 128)
+    n_it = jnp.maximum((hi - start + sub - 1) // sub, 0)
 
-    # DMAs run unconditionally (sub-chunk traffic is ~0.1 ms/batch total);
-    # only the COMPUTE is gated below — the matmul is the expensive part,
-    # and DMA-inside-cond is not supported in interpret mode anyway
-    cps = []
-    for s in range(nsub):
-        off = pl.multiple_of(start + s * sub, 128)
-        cp0 = pltpu.make_async_copy(
-            table_hbm.at[b, pl.ds(off, sub)], tbl_s.at[s], sems.at[0, s])
-        cp1 = pltpu.make_async_copy(
-            cells_hbm.at[b, :, pl.ds(off, sub)], cells_s.at[s],
-            sems.at[1, s])
-        cp0.start(); cp1.start()
-        cps.append((cp0, cp1))
+    def cp_pf(bi, off):
+        off = pl.multiple_of(off, 128)
+        c0 = pltpu.make_async_copy(
+            table_hbm.at[bi, pl.ds(off, sub)], pf_tbl, pf_sems.at[0])
+        c1 = pltpu.make_async_copy(
+            cells_hbm.at[bi, :, pl.ds(off, sub)], pf_cells, pf_sems.at[1])
+        return c0, c1
 
-    acc[...] = jnp.zeros(acc.shape, acc.dtype)
+    def cp(i):
+        off = pl.multiple_of(start + i * sub, 128)
+        c0 = pltpu.make_async_copy(
+            table_hbm.at[b, pl.ds(off, sub)], tbl_s.at[i % 2],
+            sems.at[0, i % 2])
+        c1 = pltpu.make_async_copy(
+            cells_hbm.at[b, :, pl.ds(off, sub)], cells_s.at[i % 2],
+            sems.at[1, i % 2])
+        return c0, c1
+
+    # chunk 0 rides the dedicated prefetch buffers: it was issued during the
+    # PREVIOUS grid step (below), so the wait here normally finds the data
+    # already landed — the per-block DMA-latency stall this kills was ~1-2 us
+    # x nblocks x batch. The first grid step self-issues.
+    @pl.when((blk == 0) & (b == 0))
+    def _():
+        c0, c1 = cp_pf(b, start)
+        c0.start()
+        c1.start()
+
+    @pl.when(n_it > 1)
+    def _():
+        c0, c1 = cp(1)
+        c0.start()
+        c1.start()
+
+    c0, c1 = cp_pf(b, start)
+    c0.wait()
+    c1.wait()
+
     cell_rows = base + jax.lax.broadcasted_iota(jnp.int32, (rw, sub), 0)
-    for s in range(nsub):
-        cps[s][0].wait()
-        cps[s][1].wait()
+    # 0/1 selection matmul. For f32 tables request HIGHEST so each selected
+    # value passes through exactly (default TPU f32 matmul rounds through
+    # bf16 passes); bf16 tables are native MXU and Mosaic rejects HIGHEST
+    # for them ("Bad lhs type").
+    precision = (jax.lax.Precision.HIGHEST
+                 if tbl_s.dtype == jnp.float32 else None)
 
-        # sub-chunk s covers slots [start + s*sub, start + (s+1)*sub); all
-        # occupied slots of this block lie in [lo, hi) and start >= lo-127,
-        # so sub-chunks at or past hi contribute nothing — skip their
-        # matmul entirely (typical blocks run 1 of nsub sub-chunks)
-        @pl.when(start + s * sub < hi)
-        def _(s=s):
-            # selection matrix: M[r, j] = 1 iff slot j's cell is block cell r
-            m = (cells_s[s] == cell_rows).astype(tbl_s.dtype)  # (rw, sub)
-            # 0/1 selection matmul. For f32 tables request HIGHEST so each
-            # selected value passes through exactly (default TPU f32 matmul
-            # rounds through bf16 passes); bf16 tables are native MXU and
-            # Mosaic rejects HIGHEST for them ("Bad lhs type").
-            precision = (jax.lax.Precision.HIGHEST
-                         if tbl_s.dtype == jnp.float32 else None)
-            acc[...] += jnp.dot(m, tbl_s[s],
-                                preferred_element_type=jnp.float32,
-                                precision=precision)
+    # selection matrix: M[r, j] = 1 iff slot j's cell is block cell r. The
+    # n_it == 0 gate zeroes M instead of branching around the matmul (an
+    # empty block is rare; a wasted matmul is cheaper than a fourth branch;
+    # Mosaic cannot select on i1 vectors, so the gate is a scalar multiply)
+    gate = (n_it > 0).astype(pf_tbl.dtype)
+    m = (pf_cells[...] == cell_rows).astype(pf_tbl.dtype) * gate
+    acc[...] = jnp.dot(m, pf_tbl[...],
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+
+    # pf buffers are consumed — issue the SUCCESSOR grid step's chunk 0 so
+    # its arrival overlaps the rest of this block (remaining chunks, norm
+    # epilogue, pipelined output write)
+    nxt_b = jnp.where(b + 1 < nb, b + 1, 0)
+    nxt_blk = jnp.where(b + 1 < nb, blk, blk + 1)
+    lo_n = lo_ref[nxt_b, jnp.minimum(nxt_blk, nblk - 1)]
+    start_n = (lo_n // 128) * 128
+
+    @pl.when(~((blk == nblk - 1) & (b == nb - 1)))
+    def _():
+        c0, c1 = cp_pf(nxt_b, start_n)
+        c0.start()
+        c1.start()
+
+    def body(i, carry):
+        @pl.when(i + 1 < n_it)
+        def _():
+            c0, c1 = cp(i + 1)
+            c0.start()
+            c1.start()
+        c0, c1 = cp(i)
+        c0.wait()
+        c1.wait()
+        m = (cells_s[i % 2] == cell_rows).astype(tbl_s.dtype)  # (rw, sub)
+        acc[...] += jnp.dot(m, tbl_s[i % 2],
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
+        return carry
+
+    jax.lax.fori_loop(1, n_it, body, 0)
+
     if norm:
         mean = stats_ref[b, 0]
         rstd = jax.lax.rsqrt(stats_ref[b, 1] + eps)
@@ -100,12 +162,19 @@ def _canvas_kernel(*refs, rows_per_block: int, width: int, sub: int,
 
 
 def pick_rows_per_block(h: int, w: int) -> int:
-    """Smallest r dividing h with r*w divisible by 8 (Mosaic block sublane
-    constraint); 0 if none exists (caller falls back to the XLA path)."""
+    """Block height r: must divide h with r*w divisible by 8 (Mosaic block
+    sublane constraint); 0 if none exists (caller falls back to XLA).
+    Among valid r, prefer the smallest giving <= 128 blocks — fewer blocks
+    amortize the per-block chunk-rounding slack (measured ~1 ms/b8 on the
+    500-grid going from 250 to 125 blocks) without growing the selection
+    matmul, which scales with r*w x total-slots either way."""
+    first = 0
     for r in range(1, h + 1):
-        if h % r == 0 and (r * w) % 8 == 0:
-            return r
-    return 0
+        if h % r == 0 and (r * w) % 8 == 0 and r * w <= 4096:
+            first = first or r
+            if h // r <= 128:
+                return r
+    return first
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -137,17 +206,19 @@ def _canvas_scatter_bwd(grid_hw, res, g):
 canvas_scatter.defvjp(_canvas_scatter_fwd, _canvas_scatter_bwd)
 
 
-def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
-                      grid_hw, *, rows_per_block: int = 0,
+def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
+                      *, rows_per_block: int = 0, pre_padded: bool = False,
                       norm_stats=None, norm_affine=None, norm_eps: float = 1e-3,
                       interpret: bool = False) -> jax.Array:
-    """(B, P, C) pillar table + (B, P) ascending cell ids -> (B, H, W, C).
+    """(B, S, C) slot table + (B, S) ascending cell ids -> (B, H, W, C).
 
-    ``cells`` must be sorted ascending per sample (the stream pillarizer's
-    slot order); invalid slots get the H*W sentinel. Each block covers
-    ``rows_per_block`` canvas rows; its occupied slots lie within
-    [row_start, row_start + rows*W + 128) of the sub-chunks fetched from the
-    aligned floor of the range.
+    ``cells`` must be ascending per sample (the stream pillarizer's slot
+    order; duplicates are allowed as long as every duplicate's table row
+    beyond the first is all-zero — the selection matmul ADDS matching rows).
+    ``valid=None`` means the cells already carry their sentinels; otherwise
+    invalid slots are mapped to the ``H*W`` sentinel here. Slot count S is
+    unbounded (dense 32k pillar tables and 131k per-point stream slots both
+    work); each canvas block dynamically scans exactly its own slot range.
 
     ``norm_stats``/``norm_affine``: optional fused pseudo-image LayerNorm
     epilogue (eval path) — stats = per-sample (mean (B,), var (B,)), affine
@@ -164,32 +235,37 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
     assert (rows_per_block * w) % 8 == 0, (rows_per_block, w)
     nblocks = h // rows_per_block
     rw = rows_per_block * w
-    # sub-chunks must cover rw occupied slots + up to 127 alignment slack
-    sub = 384
-    nsub = (rw + 128 + sub - 1) // sub
+    sub = 384  # slots per chunk: 3 full lanes, MXU-friendly contraction dim
 
-    cells = jnp.where(valid, cells, h * w).astype(jnp.int32)
+    if valid is not None:
+        cells = jnp.where(valid, cells, h * w)
+    cells = cells.astype(jnp.int32)
     # lo[blk] = first slot of block blk; lo[nblocks] = end of valid slots
     boundaries = (jnp.arange(nblocks + 1, dtype=jnp.int32) * rw)
     lo = jax.vmap(lambda cl: jnp.searchsorted(cl, boundaries, side="left")
                   .astype(jnp.int32))(cells)
 
-    # pad slots so sub-chunk DMAs never run off the end; sentinel never
-    # matches. cells ship as (B, 1, P+pad): integer-indexing the batch dim
-    # keeps the sliced dims (1, sub) lane-aligned for the DMA (Mosaic
-    # rejects sublane slices of size 1)
-    pad = nsub * sub
-    pad_cols = [(0, 0), (0, pad)]
-    table_p = jnp.pad(table, pad_cols + [(0, 0)])
-    cells_p = jnp.pad(cells, pad_cols, constant_values=h * w + 1)[:, None, :]
+    # pad slots so the last (128-floor + rounded-up) chunk DMA stays in
+    # bounds; sentinel cells never match. cells ship as (B, 1, S+pad):
+    # integer-indexing the batch dim keeps the sliced dims (1, sub)
+    # lane-aligned for the DMA (Mosaic rejects sublane slices of size 1).
+    # pre_padded: the producer already wrote >= sub+128 sentinel tail slots
+    # (zero features, H*W cells) — skip the 67 MB pad copy
+    if pre_padded:
+        table_p, cells_p = table, cells[:, None, :]
+    else:
+        pad = sub + 128
+        pad_cols = [(0, 0), (0, pad)]
+        table_p = jnp.pad(table, pad_cols + [(0, 0)])
+        cells_p = jnp.pad(cells, pad_cols, constant_values=h * w + 1)[:, None, :]
 
     norm = norm_stats is not None
     kernel = functools.partial(
         _canvas_kernel, rows_per_block=rows_per_block, width=w, sub=sub,
-        nsub=nsub, norm=norm, eps=norm_eps)
+        norm=norm, eps=norm_eps)
     in_specs = [
         # full (B, nblocks+1) scalar array in SMEM
-        pl.BlockSpec((b, nblocks + 1), lambda bi, blk: (0, 0),
+        pl.BlockSpec((b, nblocks + 1), lambda blk, bi: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
@@ -198,7 +274,7 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
     if norm:
         mean, var = norm_stats
         stats = jnp.stack([mean, var], axis=-1).astype(jnp.float32)  # (B, 2)
-        in_specs.insert(1, pl.BlockSpec((b, 2), lambda bi, blk: (0, 0),
+        in_specs.insert(1, pl.BlockSpec((b, 2), lambda blk, bi: (0, 0),
                                         memory_space=pltpu.SMEM))
         inputs.insert(1, stats)
         for arr in norm_affine:  # (scale, bias), shipped separately (no
@@ -208,27 +284,32 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid: jax.Array,
             if arr.size == c:  # channel mode: (1, 1, C) broadcast slab
                 inputs.append(arr.reshape(1, 1, c))
                 in_specs.append(pl.BlockSpec(
-                    (1, 1, c), lambda bi, blk: (0, 0, 0),
+                    (1, 1, c), lambda blk, bi: (0, 0, 0),
                     memory_space=pltpu.VMEM))
-            else:  # full mode: (H*W, C), one (rw, C) slab per block
+            else:  # full mode: (H*W, C), one (rw, C) slab per block — the
+                # batch-innermost grid order makes Pallas fetch it once per
+                # BLOCK, not once per (block, sample)
                 inputs.append(arr.reshape(1, h * w, c))
                 in_specs.append(pl.BlockSpec(
-                    (1, rw, c), lambda bi, blk: (0, blk, 0),
+                    (1, rw, c), lambda blk, bi: (0, blk, 0),
                     memory_space=pltpu.VMEM))
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, nblocks),
+        grid=(nblocks, b),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, rw, c), lambda bi, blk: (bi, blk, 0),
+            (1, rw, c), lambda blk, bi: (bi, blk, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), table.dtype),
         scratch_shapes=[
-            pltpu.VMEM((nsub, sub, c), table.dtype),
-            pltpu.VMEM((nsub, 1, sub), jnp.int32),
+            pltpu.VMEM((2, sub, c), table.dtype),
+            pltpu.VMEM((2, 1, sub), jnp.int32),
+            pltpu.VMEM((sub, c), table.dtype),    # chunk-0 prefetch (table)
+            pltpu.VMEM((1, sub), jnp.int32),      # chunk-0 prefetch (cells)
             pltpu.VMEM((rw, c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, nsub)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -85,6 +85,27 @@ def _win_sum_dir(w, pid, k: int, sign: int):
     return out
 
 
+def _prefix_max(v, fill):
+    """Inclusive prefix max along the lane axis: out[:, i] = max(v[:, :i+1])."""
+    out = v
+    s = 1
+    while s < out.shape[1]:
+        out = jnp.maximum(out, _shift_fill(out, -s, fill))
+        s *= 2
+    return out
+
+
+def _shift_fill(v, s: int, fill):
+    """out[:, i] = v[:, i+s] with ``fill`` at the edges (lane roll + iota gate)."""
+    if s == 0:
+        return v
+    l = v.shape[1]
+    rolled = _roll_lanes(v, s)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    valid = (lanes + s >= 0) & (lanes + s < l)
+    return jnp.where(valid, rolled, fill)
+
+
 # packed column indices in the (B, 8, N) stream
 _PID_COL, _KEPT_COL = 4, 5
 
@@ -209,3 +230,202 @@ def fused_stream_pfn(
         interpret=interpret,
     )(*([p8] * nloads + w_args))
     return out[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# v2: slot-form kernel — the whole eval pillar directory lives in-kernel.
+#
+# The round-3 eval path paid ~10 ms/b8 of XLA glue around the kernel: the
+# pillar directory (kept/is_first/cumsum/starts-sort ~3.8 ms), a 262k-row
+# gather compacting the stream to the 32k pillar table (~3.4 ms), the norm
+# stats pass (~1.2 ms) and pad/copy packing (~1.2 ms). This kernel removes
+# ALL of it by changing the contract with the canvas kernel: instead of a
+# dense pillar table it emits one slot PER SORTED POINT —
+#
+#   feats: (B, N, C) bf16 — last-layer pooled features at segment-START rows,
+#          exact zeros elsewhere;
+#   cells: ascending per-slot cell ids where non-start rows DUPLICATE the
+#          last start's cell (their zero feature rows add nothing in the
+#          canvas selection matmul) and the out-of-range tail gets the H*W
+#          sentinel. Ascending order is what the canvas kernel's per-block
+#          searchsorted needs; duplicates are harmless by linearity.
+#
+# kept/is_first come from in-kernel pid lane-rolls (the halo >= K provides
+# the lookback); the dup-fill is an in-kernel prefix max with a scalar SMEM
+# carry across the sequential grid (runs longer than the halo span tiles);
+# per-tile norm-stat partial sums ride spare sublanes of the cells output.
+# The eval path thus shrinks to: pid fusion -> lax.sort -> (B,8,N) stack ->
+# this kernel -> canvas kernel. The max_pillars cap disappears from eval —
+# closer to the reference, whose max_voxels equals the full grid (SURVEY
+# §2.1; reference mask_bev_encoders.py:69).
+# ---------------------------------------------------------------------------
+
+
+def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
+                      with_distance: bool, nloads: int, grid_w: int,
+                      n_cells: int, n_real: int, tile: int, halo: int,
+                      voxel_size: float, x0: float, y0: float):
+    """args = x_load refs (nloads), [Wt_i, g_i, b_i] * n_layers,
+    feat_ref, cells_ref, carry_ref."""
+    x_refs = args[:nloads]
+    weights = args[nloads: nloads + 3 * n_layers]
+    feat_ref, cells_ref, carry_ref = args[nloads + 3 * n_layers:]
+
+    t = pl.program_id(1)
+    p = jnp.concatenate([r[0] for r in x_refs], axis=1)  # (8, span)
+    span = p.shape[1]
+    f32 = jnp.float32
+
+    # clamped block loads re-read interior blocks at the array edges; mask
+    # the pid of lanes outside [0, n_real) so edge garbage never joins (or
+    # splits) a segment
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
+    gpos = t * tile + lanes - halo
+    in_arr = (gpos >= 0) & (gpos < n_real)
+    pid = jnp.where(in_arr, p[_PID_COL:_PID_COL + 1, :], -1.0)  # (1, span)
+
+    sent = f32(n_cells)
+    is_real = (pid >= 0.0) & (pid < sent)
+    # rank-within-run < K  <=>  the row K back belongs to a different run
+    kept = (is_real & (_shift_fill(pid, -k, -1.0) != pid)).astype(f32)
+    is_first = is_real & (_shift_fill(pid, -1, -1.0) != pid)
+    firstf = is_first.astype(f32)
+
+    xyz = p[0:3, :]
+    # cluster mean over kept lanes: fwd + bwd windowed sums - self
+    w4 = jnp.concatenate([xyz, jnp.ones((1, span), p.dtype)], axis=0) * kept
+    sums = (_win_sum_dir(w4, pid, k, 1) + _win_sum_dir(w4, pid, k, -1) - w4)
+    mean = sums[0:3, :] / jnp.maximum(sums[3:4, :], 1.0)
+
+    row = jnp.floor(pid * (1.0 / grid_w))
+    cx = (pid - row * grid_w) * voxel_size + (x0 + 0.5 * voxel_size)
+    cy = row * voxel_size + (y0 + 0.5 * voxel_size)
+    f_center = p[0:2, :] - jnp.concatenate([cx, cy], axis=0)
+
+    parts = [p[0:point_dim, :], xyz - mean, f_center]
+    if with_distance:
+        d2 = jnp.sum(xyz * xyz, axis=0, keepdims=True)
+        parts.append(jnp.sqrt(d2))
+    x = jnp.concatenate(parts, axis=0) * kept   # (C_in, span)
+
+    for li in range(n_layers):
+        wt, g, bias = weights[3 * li: 3 * li + 3]
+        y = jnp.dot(wt[...], x, preferred_element_type=jnp.float32)
+        z = jnp.maximum(y * g[...] + bias[...], 0.0) * kept
+        last = li == n_layers - 1
+        pooled = _win_max(z, pid, k, symmetric=not last)
+        x = pooled if last else jnp.concatenate([z, pooled], axis=0)
+
+    c_out = x.shape[0]
+    pooled_g = x * firstf                       # (C, span)
+
+    # ascending dup-filled cells: prefix max of start cells, combined with
+    # the carry (history older than this tile's halo — runs can outspan it)
+    pm = _prefix_max(jnp.where(is_first, pid, -1.0), -1.0)
+    carry = jnp.where(t == 0, 0.0, carry_ref[0])
+    cells = jnp.maximum(jnp.maximum(pm, carry), 0.0)
+    # out-of-range tail (pid == sentinel) and edge padding -> H*W sentinel
+    cells = jnp.where((pid >= sent) | (pid < 0.0), sent, cells)
+
+    ctr = slice(halo, halo + tile)
+    carry_ref[0] = jnp.maximum(pm, carry)[0, halo + tile - 1]
+
+    # per-tile norm-stat partials over the bf16-ROUNDED written values (the
+    # canvas consumes the bf16 table; stats must describe what it sums)
+    wrt = pooled_g[:, ctr].astype(feat_ref.dtype)
+    feat_ref[0] = jnp.transpose(wrt, (1, 0))
+    w32 = wrt.astype(f32)
+    st = jnp.concatenate(
+        [jnp.sum(w32, axis=1, keepdims=True),
+         jnp.sum(w32 * w32, axis=1, keepdims=True)], axis=1)  # (C, 2)
+    st8 = jnp.pad(jnp.transpose(st, (1, 0)), ((0, 0), (0, tile - c_out)))
+    cells_ref[0] = jnp.concatenate(
+        [cells[:, ctr], st8, jnp.zeros((5, tile), f32)], axis=0)  # (8, tile)
+
+
+def fused_stream_pfn_slots(
+    p8: jax.Array,           # (B, 8, N): x y z inten pid 0 0 0, pid-sorted
+    weights: List[Tuple[jax.Array, jax.Array, jax.Array]],
+    *, point_dim: int, with_distance: bool, k: int, grid_w: int,
+    grid_h: int, voxel_size: float, x0: float, y0: float,
+    tile: int = 1024, canvas_pad: int = 0, interpret: bool = False,
+):
+    """Sorted packed stream -> (feats (B,N,C) bf16, cells (B,N) f32,
+    stats (B,2,C) f32 [sum, sumsq] over the written feature rows).
+
+    See the module comment above ``_pfn_slots_kernel`` for the slot-form
+    contract; feed ``feats``/``cells`` straight to
+    ``pallas_canvas.canvas_from_table(..., valid=None)``. With
+    ``canvas_pad > 0`` the outputs keep >= that many sentinel tail slots
+    (zero features, H*W cells) so the canvas kernel can use them directly
+    with ``pre_padded=True`` — skipping its own 67 MB ``jnp.pad`` copy.
+    """
+    bsz, eight, n = p8.shape
+    assert eight == 8, p8.shape
+    assert tile % 128 == 0, tile
+    n_pad = ((n + canvas_pad + tile - 1) // tile) * tile
+    if n_pad != n:
+        # pad lanes sit beyond n_real: the kernel masks their pid to -1, so
+        # they pool to zero features and sentinel cells
+        p8 = jnp.pad(p8, [(0, 0), (0, 0), (0, n_pad - n)])
+    # kept at lane L needs a K-lane lookback, and the decorations reach K-1
+    # lanes back from the first central lane, so the halo must cover 2K-1
+    # lanes (the v1 kernel computed kept in XLA and only needed K)
+    halo = ((max(2 * k - 1, 1) + 127) // 128) * 128
+    n_layers = len(weights)
+    c_out = weights[-1][0].shape[1]
+    assert c_out <= tile, (c_out, tile)
+    span = tile + 2 * halo
+    nloads = span // 128
+    tile_blocks = tile // 128
+    halo_blocks = halo // 128
+    nblk = n_pad // 128
+
+    f32 = jnp.float32
+    in_specs = [
+        pl.BlockSpec(
+            (1, 8, 128),
+            lambda b, i, j=j: (
+                b, 0,
+                jnp.clip(i * tile_blocks + j - halo_blocks, 0, nblk - 1)),
+            memory_space=pltpu.VMEM)
+        for j in range(nloads)
+    ]
+    w_args = []
+    for (w, g, bias) in weights:
+        w_args += [w.astype(f32).T, g.astype(f32)[:, None],
+                   bias.astype(f32)[:, None]]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+
+    kernel = functools.partial(
+        _pfn_slots_kernel, n_layers=n_layers, k=k, point_dim=point_dim,
+        with_distance=with_distance, nloads=nloads, grid_w=grid_w,
+        n_cells=grid_h * grid_w, n_real=n, tile=tile, halo=halo,
+        voxel_size=voxel_size, x0=x0, y0=y0)
+
+    feats, cells8 = pl.pallas_call(
+        kernel,
+        grid=(bsz, n_pad // tile),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tile, c_out), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, tile), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_pad, c_out), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, 8, n_pad), f32),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*([p8] * nloads + w_args))
+
+    keep = n_pad if canvas_pad else n
+    cells = cells8[:, 0, :keep]
+    stats = cells8[:, 1:3, :].reshape(bsz, 2, n_pad // tile, tile)[
+        ..., :c_out].sum(axis=2)  # (B, 2, C)
+    return feats[:, :keep], cells, stats

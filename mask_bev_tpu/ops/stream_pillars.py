@@ -225,6 +225,55 @@ def pillarize_stream_batch(points, valid, **kw) -> StreamPillars:
     return jax.vmap(lambda pt, v: pillarize_stream(pt, v, **kw))(points, valid)
 
 
+def pillarize_stream_packed(
+    points: jax.Array,
+    valid: jax.Array,
+    *,
+    x_range: Tuple[float, float],
+    y_range: Tuple[float, float],
+    z_range: Tuple[float, float],
+    voxel_size: float,
+) -> jax.Array:
+    """(B, N, D) + mask -> pid-sorted packed stream (B, 8, N) f32.
+
+    The minimal eval-path pillarization for the slot-form PFN kernel
+    (``ops/pallas_pfn.fused_stream_pfn_slots``): pid fusion + ONE stable
+    multi-operand sort + channel-major stack. Columns are
+    ``x y z intensity pid 0 0 0`` with out-of-range/invalid points carrying
+    the ``grid_h*grid_w`` pid sentinel (they sort to the stream tail). The
+    whole pillar directory (kept/is_first/starts/coords/valid) that
+    :func:`pillarize_stream` builds in XLA lives in-kernel instead.
+    """
+    b, n, d = points.shape
+    x, y, z = points[..., 0], points[..., 1], points[..., 2]
+    grid_w = int(round((x_range[1] - x_range[0]) / voxel_size))
+    grid_h = int(round((y_range[1] - y_range[0]) / voxel_size))
+    sentinel = grid_h * grid_w
+
+    in_range = (
+        (x >= x_range[0]) & (x < x_range[1])
+        & (y >= y_range[0]) & (y < y_range[1])
+        & (z >= z_range[0]) & (z < z_range[1])
+        & valid
+    )
+    ix = jnp.clip(jnp.floor((x - x_range[0]) / voxel_size).astype(jnp.int32),
+                  0, grid_w - 1)
+    iy = jnp.clip(jnp.floor((y - y_range[0]) / voxel_size).astype(jnp.int32),
+                  0, grid_h - 1)
+    pid = jnp.where(in_range, iy * grid_w + ix, sentinel)
+
+    def one(pid1, p1):
+        cols = [p1[:, i].astype(jnp.float32) for i in range(min(d, 4))]
+        ops = jax.lax.sort([pid1] + cols, dimension=0, is_stable=True,
+                           num_keys=1)
+        z1 = jnp.zeros((n,), jnp.float32)
+        out = (list(ops[1:]) + [z1] * (4 - len(cols))
+               + [ops[0].astype(jnp.float32)] + [z1] * 3)
+        return jnp.stack(out, axis=0)  # (8, N)
+
+    return jax.vmap(one)(pid, points)
+
+
 def gather_at_starts(stream_vals: jax.Array, starts: jax.Array, valid: jax.Array):
     """(B, N, C) stream + (B, P) starts -> (B, P, C) pillar table (zeros if invalid)."""
     table = jnp.take_along_axis(stream_vals, starts[..., None], axis=-2)
