@@ -7,9 +7,13 @@ states are plain arrays, so multi-host training can allgather and merge.
 
 Includes a COCO-style segmentation mAP (``MaskMeanAveragePrecision``)
 standing in for torchmetrics ``MeanAveragePrecision(iou_type='segm')`` used
-per decoder layer by the reference (``mask_bev_module.py:85-94``): greedy
-score-ordered matching per image at IoU thresholds 0.50:0.95:0.05, 101-point
-interpolated AP, averaged over thresholds and classes.
+per decoder layer by the reference (``mask_bev_module.py:85-94``). Matching
+and AP follow pycocotools ``COCOeval`` exactly (score-ordered greedy
+matching with first-max tie-breaking; 101-recall-point precision lookup via
+left ``searchsorted``, zero beyond the attained recall), verified against
+hand-computed oracle values in ``tests/test_evaluation.py``. Not modeled
+(never binding for this task): COCO area ranges (BEV masks are one range)
+and maxDets=100 (the model emits <= num_queries=45 predictions/image).
 """
 from __future__ import annotations
 
@@ -162,6 +166,34 @@ class MaskArea(_ListMetric):
         return dict(self.areas)
 
 
+def _cocoeval_ap(confidences: np.ndarray, is_tp: np.ndarray,
+                 total_gt: int) -> float:
+    """AP exactly as pycocotools ``COCOeval.accumulate`` computes it: sort
+    by score (stable), precision envelope from the right, then look up the
+    envelope at 101 recall thresholds with a left ``searchsorted`` — recall
+    levels beyond the attained maximum contribute ZERO (no trapezoid ramp,
+    unlike the reference's own homegrown ``InterpolationCOCO`` mode, which
+    this class does not use because it stands in for torchmetrics)."""
+    if total_gt <= 0:
+        return 0.0
+    confidences = np.asarray(confidences, np.float64)
+    is_tp = np.asarray(is_tp, np.float64)
+    if confidences.size == 0:
+        return 0.0
+    order = np.argsort(-confidences, kind="stable")
+    tp = is_tp[order]
+    cum_tp = np.cumsum(tp)
+    recalls = cum_tp / total_gt
+    precisions = cum_tp / np.arange(1, len(tp) + 1)
+    envelope = np.maximum.accumulate(precisions[::-1])[::-1]
+    rec_thrs = np.linspace(0.0, 1.0, 101)
+    idx = np.searchsorted(recalls, rec_thrs, side="left")
+    ok = idx < len(envelope)
+    q = np.zeros(101)
+    q[ok] = envelope[idx[ok]]
+    return float(q.mean())
+
+
 class MaskMeanAveragePrecision:
     """COCO-style segm mAP over accumulated (pred, target) image pairs.
 
@@ -203,11 +235,13 @@ class MaskMeanAveragePrecision:
 
     def _match_all(self) -> dict:
         """Greedy score-order matching for every class at ALL IoU thresholds
-        in one pass (like torchmetrics/COCOeval): each detection takes the
-        available same-class gt of highest IoU >= threshold (ties -> last gt
-        index, matching the original scan order). Vectorized over the
-        threshold axis — the per-detection loop is the only python loop, so
-        an epoch-end compute stays O(total detections) host-side.
+        in one pass (torchmetrics/COCOeval semantics): each detection takes
+        the available same-class gt of highest IoU >= threshold. Ties break
+        to the FIRST gt index — COCOeval's gt scan only switches on strictly
+        greater IoU (pycocotools cocoeval.py ``evaluateImg``), and np.argmax
+        returns the first maximum. Vectorized over the threshold axis — the
+        per-detection loop is the only python loop, so an epoch-end compute
+        stays O(total detections) host-side.
 
         Returns {cls: (confs (D,), tps (T, D), total_gt)}.
         """
@@ -238,8 +272,8 @@ class MaskMeanAveragePrecision:
                 tp = np.zeros((nt, ps.size))
                 for di, d in enumerate(order):
                     masked = np.where(taken, -1.0, ious[d][None, :])  # (T, G)
-                    # last gt index among ties (original scan used >=)
-                    best_g = g - 1 - np.argmax(masked[:, ::-1], axis=1)
+                    # first gt index among ties (COCOeval strict-greater scan)
+                    best_g = np.argmax(masked, axis=1)
                     best_iou = masked[np.arange(nt), best_g]
                     hit = best_iou >= ts
                     taken[hit, best_g[hit]] = True
@@ -260,9 +294,7 @@ class MaskMeanAveragePrecision:
         if not matches:
             return np.zeros(nt)
         aps = np.array([
-            [average_precision(confs, tps[t], total_gt,
-                               IntegrationMode.InterpolationCOCO)
-             for t in range(nt)]
+            [_cocoeval_ap(confs, tps[t], total_gt) for t in range(nt)]
             for confs, tps, total_gt in matches.values()])
         return aps.mean(axis=0)
 

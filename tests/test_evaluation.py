@@ -146,3 +146,112 @@ def test_mask_map_misses():
     m.update(pred_masks=wrong, pred_scores=[0.9], pred_labels=[1],
              gt_masks=gm, gt_labels=[1])
     assert m.compute() == pytest.approx(0.0, abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# Vendored COCO-mAP oracle cases: expected values hand-computed from the
+# pycocotools COCOeval rules (score-ordered greedy matching, first-max gt
+# tie-break, 101-recall-point precision lookup with zero beyond the attained
+# recall). These pin MaskMeanAveragePrecision — the stand-in for
+# torchmetrics MeanAveragePrecision(iou_type='segm') used by the reference
+# (mask_bev_module.py:87) — since torchmetrics/pycocotools cannot be
+# installed here. Derivations in comments; thresholds are
+# 0.50:0.95:0.05, AP_t averaged over classes then thresholds.
+# ---------------------------------------------------------------------------
+
+
+def _mk_map_from_ious(images):
+    from mask_bev_tpu.evaluation.detection_metric import (
+        MaskMeanAveragePrecision)
+    m = MaskMeanAveragePrecision()
+    for scores, labels, gt_labels, ious in images:
+        m.update_from_ious(np.asarray(scores), np.asarray(labels),
+                           np.asarray(gt_labels), np.asarray(ious))
+    return m
+
+
+def test_mask_map_oracle_partial_matches():
+    """2 GT, 3 dets with IoUs spanning thresholds.
+
+    t=.50/.55: TP(g0),FP,TP(g1) -> rc .5,.5,1; prec env 1,2/3,2/3;
+      AP = (51*1 + 50*2/3)/101 = 0.8349835
+    t=.60: TP,FP,FP -> AP = 51/101 = 0.5049505
+    t=.65/.70: FP,TP(g0),FP -> env prec .5 up to rc .5 -> AP = 25.5/101
+    t>=.75: all FP -> 0.
+    map = (2*0.8349835 + 0.5049505 + 2*0.2524752)/10 = 0.2679868
+    (IoUs sit strictly between thresholds — arange thresholds carry float
+    error, so a mask IoU exactly AT a nominal threshold is ill-defined.)
+    """
+    m = _mk_map_from_ious([(
+        [0.9, 0.8, 0.7], [1, 1, 1], [1, 1],
+        [[0.61, 0.1],
+         [0.71, 0.4],
+         [0.2, 0.56]],
+    )])
+    d = m.compute_dict()
+    assert d["map_50"] == pytest.approx(0.8349835, abs=1e-6)
+    assert d["map_75"] == pytest.approx(0.0, abs=1e-9)
+    assert d["map"] == pytest.approx(0.2679868, abs=1e-6)
+
+
+def test_mask_map_oracle_two_classes_two_images():
+    """Class 1: perfect det (IoU .96) in image 1 -> AP 1 at all thresholds.
+    Class 2: its only gt (image 2) has no det -> AP 0. map = 0.5."""
+    m = _mk_map_from_ious([
+        ([0.9], [1], [1], [[0.96]]),
+        (np.zeros(0), np.zeros(0, np.int64), [2], np.zeros((0, 1))),
+    ])
+    d = m.compute_dict()
+    assert d["map"] == pytest.approx(0.5, abs=1e-9)
+    assert d["map_50"] == pytest.approx(0.5, abs=1e-9)
+    assert d["map_75"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_mask_map_oracle_score_order_greedy():
+    """The higher-score det takes the gt even when a lower-score det
+    overlaps it better (COCOeval is greedy in score order).
+
+    1 GT; d0 (s .9, IoU .62), d1 (s .8, IoU .92).
+    t=.50/.55/.60: TP,FP -> env prec 1 at rc 1 -> AP 1.
+    t=.65..-.90 (6): FP,TP -> env prec .5 everywhere -> AP .5.
+    t=.95: 0. map = (3 + 6*.5)/10 = 0.6
+    """
+    m = _mk_map_from_ious([(
+        [0.9, 0.8], [1, 1], [1], [[0.62], [0.92]],
+    )])
+    d = m.compute_dict()
+    assert d["map_50"] == pytest.approx(1.0, abs=1e-9)
+    assert d["map_75"] == pytest.approx(0.5, abs=1e-9)
+    assert d["map"] == pytest.approx(0.6, abs=1e-9)
+
+
+def test_mask_map_oracle_gt_tie_breaks_first():
+    """Exact IoU tie between two gts: COCOeval's scan only switches on
+    strictly-greater IoU, so the FIRST gt wins. d0 ties (.82/.82) and must
+    take g0, leaving d1 (IoU .92 to g0, .3 to g1) unmatched below t=.85.
+
+    2 GT. t=.50..-.80 (7): TP(g0),FP -> rc .5 -> AP = 51/101 = .5049505
+    t=.85/.90: FP (.82<t), TP (g0 free, .92>=t) -> AP = 25.5/101 = .2524752
+    t=.95: 0. map = (7*.5049505 + 2*.2524752)/10 = 0.4039604
+    (A last-max tie-break would send d0 to g1, make d1 a TP via g0, and
+    inflate map to 0.7504951 — the case this oracle exists to catch.)
+    """
+    m = _mk_map_from_ious([(
+        [0.9, 0.8], [1, 1], [1, 1],
+        [[0.82, 0.82],
+         [0.92, 0.30]],
+    )])
+    d = m.compute_dict()
+    assert d["map_50"] == pytest.approx(0.5049505, abs=1e-6)
+    assert d["map"] == pytest.approx(0.4039604, abs=1e-6)
+
+
+def test_mask_map_oracle_no_trapezoid_ramp():
+    """Beyond the attained recall the precision is ZERO (pycocotools
+    searchsorted lookup), not a linear ramp to (1, 0): one TP at rc .5 with
+    nothing after it must give AP exactly 51/101, not the trapezoid 0.75."""
+    m = _mk_map_from_ious([(
+        [0.9], [1], [1, 1], [[0.96, 0.0]],
+    )])
+    d = m.compute_dict()
+    assert d["map"] == pytest.approx(0.5049505, abs=1e-6)
