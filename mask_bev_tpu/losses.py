@@ -194,7 +194,7 @@ def class_weights(cfg: MaskBevConfig) -> jnp.ndarray:
     return jnp.concatenate([jnp.ones((k,)), jnp.full((1,), cfg.head_bg_cls_weight)])
 
 
-def match_layer(
+def match_costs(
     rng: jax.Array,
     cls_logits: jax.Array,  # (B, Q, K+1)
     mask_logits: jax.Array,  # (B, Q, H, W)
@@ -204,13 +204,13 @@ def match_layer(
     cfg: MaskBevConfig,
     match_coords: Optional[jax.Array] = None,  # (B, P, 2) test injection
     gt_crop: Optional[Tuple[jax.Array, jax.Array]] = None,  # (crops, origins)
-) -> MatchResult:
-    """Hungarian matching for one head pass over the batch."""
+) -> jax.Array:
+    """(B, Q, G) Hungarian cost matrices for one head pass (stop-gradient)."""
     b = cls_logits.shape[0]
     num_pts = cfg.head_num_points
     gt_hw = gt_masks.shape[-2:]
 
-    def per_image(pts, cls_l, mask_l, labels, masks, valid, crop_pair):
+    def per_image(pts, cls_l, mask_l, labels, masks, crop_pair):
         # matching is discrete (no gradient flows through the assignment —
         # the reference's HungarianAssigner runs under no_grad); cutting the
         # tape here prunes the cost construction (incl. the dense-sampling
@@ -229,28 +229,44 @@ def match_layer(
         cost_cls = -scores[:, labels]  # (Q, G)
         cost_mask = _binary_ce_cost(pred_pts, gt_pts)
         cost_dice = _dice_cost(pred_pts, gt_pts)
-        cost = (
+        return (
             cfg.head_cls_weight * cost_cls
             + cfg.head_mask_weight * cost_mask
             + cfg.head_dice_weight * cost_dice
         )
-        return match(cost, valid.sum())
 
     if match_coords is None:
         keys = jax.random.split(rng, b)
         match_coords = jax.vmap(
             lambda k: jax.random.uniform(k, (num_pts, 2)))(keys)
     if gt_crop is not None:
-        gt_of_query, matched = jax.vmap(
-            lambda p, c, m, l, v, cr, o: per_image(
-                p, c, m, l, None, v, (cr, o)))(
-            match_coords, cls_logits, mask_logits, gt_labels, gt_valid,
-            gt_crop[0], gt_crop[1])
-    else:
-        gt_of_query, matched = jax.vmap(
-            lambda p, c, m, l, ms, v: per_image(p, c, m, l, ms, v, None))(
+        return jax.vmap(
+            lambda p, c, m, l, cr, o: per_image(p, c, m, l, None, (cr, o)))(
             match_coords, cls_logits, mask_logits, gt_labels,
-            gt_masks.astype(mask_logits.dtype), gt_valid)
+            gt_crop[0], gt_crop[1])
+    return jax.vmap(
+        lambda p, c, m, l, ms: per_image(p, c, m, l, ms, None))(
+        match_coords, cls_logits, mask_logits, gt_labels,
+        gt_masks.astype(mask_logits.dtype))
+
+
+def match_layer(
+    rng: jax.Array,
+    cls_logits: jax.Array,
+    mask_logits: jax.Array,
+    gt_labels: jax.Array,
+    gt_masks: jax.Array,
+    gt_valid: jax.Array,
+    cfg: MaskBevConfig,
+    match_coords: Optional[jax.Array] = None,
+    gt_crop: Optional[Tuple[jax.Array, jax.Array]] = None,
+) -> MatchResult:
+    """Hungarian matching for one head pass over the batch."""
+    costs = match_costs(rng, cls_logits, mask_logits, gt_labels, gt_masks,
+                        gt_valid, cfg, match_coords=match_coords,
+                        gt_crop=gt_crop)
+    gt_of_query, matched = jax.vmap(match)(
+        costs, gt_valid.sum(-1).astype(jnp.int32))
     return MatchResult(gt_of_query, matched)
 
 
@@ -267,8 +283,16 @@ def layer_losses(
     match_coords: Optional[jax.Array] = None,  # (B, P, 2) test injection
     loss_coords: Optional[jax.Array] = None,  # (B*Q, P, 2) test injection
     gt_crop: Optional[Tuple[jax.Array, jax.Array]] = None,
+    match_result: Optional[MatchResult] = None,  # precomputed assignment
 ) -> Tuple[Dict[str, jax.Array], MatchResult]:
-    """Losses for one head pass. All reductions use GLOBAL batch statistics."""
+    """Losses for one head pass. All reductions use GLOBAL batch statistics.
+
+    ``match_result``: skip the in-layer Hungarian and use this assignment
+    (``maskbev_loss`` batches the assignment of ALL layers into one vmapped
+    solve — the JV while-loop is latency-bound, so L*B lockstep problems
+    cost barely more than B). The rng SPLIT is unchanged either way, so
+    loss values are bitwise-identical between the two paths.
+    """
     # loss math stays float32 regardless of compute_dtype: the point-sampled
     # BCE/dice reductions (12544 points/query) lose precision in bf16
     mask_logits = mask_logits.astype(jnp.float32)
@@ -278,9 +302,12 @@ def layer_losses(
     if gt_crop is None and _gt_crop_size(cfg, gt_hw):
         gt_crop = gt_crops(gt_masks, _gt_crop_size(cfg, gt_hw))[:2]
     rng_match, rng_pts = jax.random.split(rng)
-    mr = match_layer(
-        rng_match, cls_logits, mask_logits, gt_labels, gt_masks, gt_valid,
-        cfg, match_coords=match_coords, gt_crop=gt_crop)
+    if match_result is None:
+        mr = match_layer(
+            rng_match, cls_logits, mask_logits, gt_labels, gt_masks,
+            gt_valid, cfg, match_coords=match_coords, gt_crop=gt_crop)
+    else:
+        mr = match_result
 
     num_total_masks = jnp.maximum(gt_valid.sum().astype(jnp.float32), 1.0)
 
@@ -389,24 +416,47 @@ def maskbev_loss(
         crops, origins, truncated = gt_crops(gt_masks, s)
         gt_crop = (crops, origins)
 
-    def one_layer(key, cls_l, mask_l, height_l):
+    # ---- pass 1: per-layer matching costs (sequential lax.map: the dense
+    # point-sampling intermediates are per-layer GB-scale; vmapping all L+1
+    # head passes would multiply the transient footprint by the layer count)
+    def layer_cost(key, cls_l, mask_l):
+        rng_match, _ = jax.random.split(key)  # same split as layer_losses
+        return match_costs(
+            rng_match, cls_l, mask_l.astype(jnp.float32), gt_labels,
+            gt_masks, gt_valid, cfg, gt_crop=gt_crop)
+
+    costs = jax.lax.map(
+        lambda a: layer_cost(*a),
+        (keys, outputs.cls_logits, outputs.mask_logits))  # (L, B, Q, G)
+
+    # ---- pass 2: ONE batched Hungarian solve for all L*B problems. The JV
+    # while-loop is latency-bound (45 sequential augmenting paths), so
+    # lockstep-vmapping 10x the problems costs barely more than one layer's
+    # — this moved the train step's biggest single op off the critical path
+    lcount, b = costs.shape[:2]
+    nv = jnp.tile(gt_valid.sum(-1).astype(jnp.int32), lcount)
+    gq, mt = jax.vmap(match)(costs.reshape((lcount * b,) + costs.shape[2:]),
+                             nv)
+    mrs = MatchResult(gq.reshape(lcount, b, -1), mt.reshape(lcount, b, -1))
+
+    # ---- pass 3: per-layer losses under the precomputed assignments
+    def one_layer(key, cls_l, mask_l, height_l, gt_of_query, matched):
         losses, _ = layer_losses(
             key, cls_l, mask_l, height_l, gt_labels, gt_masks, gt_valid,
-            gt_heights, cfg, gt_crop=gt_crop)
+            gt_heights, cfg, gt_crop=gt_crop,
+            match_result=MatchResult(gt_of_query, matched))
         return losses
 
-    # layers run SEQUENTIALLY (lax.map, not vmap): the dense point-sampling
-    # intermediates are per-layer GB-scale; vmapping all L+1 head passes
-    # multiplies the transient footprint by the layer count
     if outputs.height_logits is not None:
         losses = jax.lax.map(
             lambda a: one_layer(*a),
             (keys, outputs.cls_logits, outputs.mask_logits,
-             outputs.height_logits))
+             outputs.height_logits, mrs.gt_of_query, mrs.matched))
     else:
         losses = jax.lax.map(
-            lambda a: one_layer(a[0], a[1], a[2], None),
-            (keys, outputs.cls_logits, outputs.mask_logits))
+            lambda a: one_layer(a[0], a[1], a[2], None, a[3], a[4]),
+            (keys, outputs.cls_logits, outputs.mask_logits,
+             mrs.gt_of_query, mrs.matched))
 
     # reference sums every '*loss*' entry across layers (mask_bev_module.py:193-195)
     total = sum(v.sum() for v in losses.values())
