@@ -92,6 +92,29 @@ class LayerNormP(nn.Module):
         return y.astype(x.dtype)
 
 
+def int8_sim_dense(x, kernel, bias=None):
+    """XLA emulation of the fused kernels' int8 dynamic quantization
+    (``ops/pallas_swin_block.py`` ``_q8_act``/``qw``/``_qdot``): per-token
+    activation scale, per-output-channel weight scale, int8 x int8 -> int32
+    matmul, f32 dequant. Lets ``backbone_quantize='int8'`` run (and be
+    end-metric-validated) through the unfused XLA path on any backend."""
+    x32 = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                     1e-6) / 127.0
+    xq = jnp.clip(jnp.round(x32 / sx), -127.0, 127.0).astype(jnp.int8)
+    w32 = kernel.astype(jnp.float32)
+    sw = jnp.maximum(jnp.max(jnp.abs(w32), axis=0, keepdims=True),
+                     1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w32 / sw), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * sw
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 class WindowMSA(nn.Module):
     """Multi-head self-attention within fixed windows + relative position bias.
 
@@ -119,12 +142,13 @@ class WindowMSA(nn.Module):
         return (self.rel_pos_bias_table[idx.reshape(-1)]
                 .reshape(n, n, self.num_heads).transpose(2, 0, 1))
 
-    def __call__(self, x, attn_mask=None):
+    def __call__(self, x, attn_mask=None, quantize: bool = False):
         # x: (B_, N, C) with N = window², B_ = B * nW
         b_, n, c = x.shape
         h = self.num_heads
         head_dim = c // h
-        qkv = self.qkv(x)
+        qkv = (int8_sim_dense(x, self.qkv.kernel, self.qkv.bias)
+               if quantize else self.qkv(x))
         qkv = qkv.reshape(b_, n, 3, h, head_dim).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         attn = jnp.einsum(
@@ -148,6 +172,8 @@ class WindowMSA(nn.Module):
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
+        if quantize:
+            return int8_sim_dense(out, self.proj.kernel, self.proj.bias)
         return self.proj(out)
 
 
@@ -169,7 +195,8 @@ class ShiftWindowMSA(nn.Module):
     def setup(self):
         self.w_msa = WindowMSA(self.dim, self.num_heads, self.window)
 
-    def __call__(self, x, hw: Tuple[int, int], train: bool = True):
+    def __call__(self, x, hw: Tuple[int, int], train: bool = True,
+                 quantize: bool = False):
         h, w = hw
         b, _, c = x.shape
         win = self.window
@@ -192,7 +219,7 @@ class ShiftWindowMSA(nn.Module):
         n = win * win
         xw = x.reshape(b, nw_h, win, nw_w, win, c).transpose(0, 1, 3, 2, 4, 5)
 
-        fuse = (self.use_pallas and not train
+        fuse = (self.use_pallas and not train and not quantize
                 and jax.default_backend() == "tpu"
                 and c % self.num_heads == 0)
         if fuse:
@@ -210,7 +237,8 @@ class ShiftWindowMSA(nn.Module):
                 num_heads=self.num_heads)
             xw = out.reshape(b, nw_h, nw_w, win, win, c)
         else:
-            yw = self.w_msa(xw.reshape(b * nw, n, c), mask)
+            yw = self.w_msa(xw.reshape(b * nw, n, c), mask,
+                            quantize=quantize)
             xw = yw.reshape(b, nw_h, nw_w, win, win, c)
 
         x = xw.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
@@ -240,6 +268,10 @@ class SwinBlock(nn.Module):
     mlp_ratio: int = 4
     drop_path: float = 0.0
     use_pallas: bool = True
+    # int8 dynamic quantization of the dense matmuls on the UNFUSED XLA
+    # path (eval only) — the same scheme the fused kernels apply in-kernel;
+    # lets backbone_quantize='int8' run/validate on any backend
+    quantize: bool = False
 
     def setup(self):
         self.norm1 = LayerNormP(self.dim)
@@ -265,12 +297,18 @@ class SwinBlock(nn.Module):
         return y * (mask / keep).astype(y.dtype)
 
     def __call__(self, x, hw, train: bool = True, drop_path=None):
+        q8 = self.quantize and not train
         shortcut = x
         y = self.norm1(x)
-        y = self.attn(y, hw, train=train)
+        y = self.attn(y, hw, train=train, quantize=q8)
         x = shortcut + self._drop_path(y, train, drop_path)
         y = self.norm2(x)
-        y = self.ffn_2(nn.gelu(self.ffn_1(y), approximate=False))
+        if q8:
+            y = nn.gelu(int8_sim_dense(y, self.ffn_1.kernel,
+                                       self.ffn_1.bias), approximate=False)
+            y = int8_sim_dense(y, self.ffn_2.kernel, self.ffn_2.bias)
+        else:
+            y = self.ffn_2(nn.gelu(self.ffn_1(y), approximate=False))
         return x + self._drop_path(y, train, drop_path)
 
     def fused(self, xg, hw: Tuple[int, int], hw_pad: Tuple[int, int],
@@ -357,10 +395,12 @@ class SwinBlockPair(nn.Module):
     def setup(self):
         self.block0 = SwinBlock(
             self.dim, self.num_heads, self.window, shift=False,
-            mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas)
+            mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas,
+            quantize=self.quantize)
         self.block1 = SwinBlock(
             self.dim, self.num_heads, self.window, shift=True,
-            mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas)
+            mlp_ratio=self.mlp_ratio, use_pallas=self.use_pallas,
+            quantize=self.quantize)
 
     def __call__(self, x, dps):
         if self.fused:
@@ -567,6 +607,7 @@ class SwinTransformer(nn.Module):
                     shift=(d % 2 == 1), mlp_ratio=self.mlp_ratio,
                     drop_path=dpr[block_idx],
                     use_pallas=self.use_pallas,
+                    quantize=self.quantize_int8,
                     name=f"stage{i}_block{d}"))
                 block_idx += 1
             if stage_fused:

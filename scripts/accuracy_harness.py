@@ -198,10 +198,12 @@ def run_torch(cfg, batches, voxel_batches, steps, eval_every, val_batches,
 # --------------------------------------------------------------------------
 
 
-def run_flax(cfg, batches, steps, eval_every, val_batches, seed=0):
+def run_flax(cfg, batches, steps, eval_every, val_batches, seed=0,
+             eval_int8=False):
     import jax
     import jax.numpy as jnp
 
+    from mask_bev_tpu.models.maskbev import MaskBev
     from mask_bev_tpu.train.step import (
         create_train_state, make_eval_step, make_train_step)
 
@@ -209,23 +211,28 @@ def run_flax(cfg, batches, steps, eval_every, val_batches, seed=0):
     step = jax.jit(make_train_step(model, cfg), donate_argnums=0)
     h, w = np.asarray(batches[0]["gt_masks"]).shape[-2:]
 
-    @jax.jit
-    def predict(params, batch_stats, pts, msk):
-        out = model.apply({"params": params, "batch_stats": batch_stats},
+    def make_predict(m):
+        @jax.jit
+        def predict(params, batch_stats, pts, msk):
+            out = m.apply({"params": params, "batch_stats": batch_stats},
                           pts, msk, train=False)
-        q = out.cls_logits.shape[2]
-        probs = jax.nn.softmax(out.cls_logits[-1].astype(jnp.float32), -1)
-        masks = jax.nn.sigmoid(jax.image.resize(
-            out.mask_logits[-1].astype(jnp.float32),
-            (pts.shape[0], q, h, w), "bilinear"))
-        return probs, masks
+            q = out.cls_logits.shape[2]
+            probs = jax.nn.softmax(out.cls_logits[-1].astype(jnp.float32), -1)
+            masks = jax.nn.sigmoid(jax.image.resize(
+                out.mask_logits[-1].astype(jnp.float32),
+                (pts.shape[0], q, h, w), "bilinear"))
+            return probs, masks
+        return predict
 
-    def evaluate(st):
+    predict = make_predict(model)
+
+    def evaluate(st, predict_fn=None):
+        pf = predict_fn or predict
         probs_all, masks_all = [], []
         for vb in val_batches:
-            p, mk = predict(st.params, st.batch_stats,
-                            jnp.asarray(vb["points"]),
-                            jnp.asarray(vb["point_mask"]))
+            p, mk = pf(st.params, st.batch_stats,
+                       jnp.asarray(vb["points"]),
+                       jnp.asarray(vb["point_mask"]))
             probs_all.append(np.asarray(p))
             masks_all.append(np.asarray(mk))
         return eval_predictions(
@@ -246,7 +253,16 @@ def run_flax(cfg, batches, steps, eval_every, val_batches, seed=0):
                   f"map={curve[it+1]['map']:.4f} "
                   f"miou={curve[it+1]['miou']:.4f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
-    return {"loss_curve": losses, "metric_curve": curve}
+    out = {"loss_curve": losses, "metric_curve": curve}
+    if eval_int8:
+        # same trained weights, backbone dense matmuls int8-quantized (the
+        # XLA emulation of the fused kernels' scheme — models/swin.py
+        # int8_sim_dense): the end-metric cost of backbone_quantize='int8'
+        q_model = MaskBev(cfg.replace(backbone_quantize="int8"))
+        out["metric_int8"] = evaluate(state, make_predict(q_model))
+        print(f"[flax ] int8 eval: map={out['metric_int8']['map']:.4f} "
+              f"miou={out['metric_int8']['miou']:.4f}", flush=True)
+    return out
 
 
 def main():
@@ -260,6 +276,10 @@ def main():
                     default="both")
     ap.add_argument("--out", type=str, default=None,
                     help="directory for accuracy_parity.json")
+    ap.add_argument("--eval_int8", action="store_true",
+                    help="also evaluate the trained flax weights with the "
+                         "backbone int8-quantized (XLA emulation of the "
+                         "fused kernels' scheme) and report the delta")
     args = ap.parse_args()
 
     cfg = harness_config().replace(batch_size=args.batch)
@@ -277,7 +297,8 @@ def main():
             vox_val, cfg.lr)
     if args.side in ("both", "flax"):
         results["flax"] = run_flax(
-            cfg, train, args.steps, args.eval_every, val)
+            cfg, train, args.steps, args.eval_every, val,
+            eval_int8=args.eval_int8)
 
     if args.side == "both":
         ft = results["torch"]["metric_curve"][args.steps]
@@ -289,6 +310,11 @@ def main():
         print("final flax :", {k: round(ff[k], 4) for k in
                                ("map", "map_50", "miou")})
         print("delta (flax - torch):", results["final_delta"])
+        if args.eval_int8:
+            fi = results["flax"]["metric_int8"]
+            results["int8_delta"] = {
+                k: round(fi[k] - ff[k], 4) for k in ("map", "map_50", "miou")}
+            print("delta (int8 - f32 flax):", results["int8_delta"])
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

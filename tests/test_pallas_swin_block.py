@@ -186,3 +186,43 @@ def test_fused_col_int8_fidelity():
         rel = np.abs(g32 - w32) / (np.abs(w32).max() + 1e-6)
         assert rel.max() < 0.12, rel.max()
         assert rel.mean() < 0.02, rel.mean()
+
+
+def test_int8_sim_matches_fused_int8():
+    """The XLA int8-emulation path (SwinBlock.quantize — what CPU and the
+    accuracy harness run) implements the SAME quantization scheme as the
+    fused kernel: per-token act scales, per-out-channel weight scales,
+    int8 MXU matmul. The two int8 paths must agree far more tightly with
+    each other than either does with f32."""
+    x, params, ref = _mk(4, hw=(9, 7), seed=7)
+    kernel = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(4, 8), window=4,
+        out_indices=(0, 1),
+        use_pallas=False, use_pallas_block=True, fused_interpret=True,
+        quantize_int8=True)
+    want = kernel.apply(params, x, train=False)
+    sim = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(4, 8), window=4,
+        out_indices=(0, 1),
+        use_pallas=False, use_pallas_block=False, quantize_int8=True)
+    got = sim.apply(params, x, train=False)
+    for g, w in zip(got, want):
+        # extra slack over _close: interpret-mode MXU-bf16 attention can
+        # push a value across an int8 round() boundary
+        _close(g, w, atol=5e-2)
+
+
+def test_int8_sim_train_mode_unquantized():
+    """quantize is eval-only: the train path must equal the plain XLA path
+    bitwise (training never quantizes)."""
+    x, params, ref = _mk(4, hw=(6, 6), seed=8)
+    want = ref.apply(params, x, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(0)})
+    sim = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(4, 8), window=4,
+        out_indices=(0, 1),
+        use_pallas=False, use_pallas_block=False, quantize_int8=True)
+    got = sim.apply(params, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(0)})
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
