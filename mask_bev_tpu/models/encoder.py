@@ -197,7 +197,8 @@ class PillarFeatureNet(nn.Module):
             out.append((layer.linear.kernel, g, bias))
         return out
 
-    def fused_slots(self, p8, canvas_pad: int = 0, interpret: bool = False):
+    def fused_slots(self, p8, canvas_pad: int = 0, pre_padded: bool = False,
+                    interpret: bool = False):
         """Slot-form eval fast path: pid-sorted packed stream (B, 8, N) ->
         (feats (B,N,C) bf16, cells (B,N) f32, stats (B,2,C)) via ONE Pallas
         kernel — the pillar directory, table gather and norm-stat passes of
@@ -214,7 +215,8 @@ class PillarFeatureNet(nn.Module):
             with_distance=self.with_distance,
             k=self.max_points_per_pillar, grid_w=grid_w, grid_h=grid_h,
             voxel_size=self.voxel_size, x0=self.x_range[0],
-            y0=self.y_range[0], canvas_pad=canvas_pad, interpret=interpret)
+            y0=self.y_range[0], canvas_pad=canvas_pad,
+            pre_padded=pre_padded, interpret=interpret)
 
     def __call__(self, sp: StreamPillars, train: bool = True):
         pts, pid, kept = sp.pts, sp.pid, sp.kept  # (B,N,D), (B,N), (B,N)
@@ -413,11 +415,18 @@ class MaskBevEncoder(nn.Module):
             # in another. NOTE max_pillars does not apply here: every
             # occupied cell is kept, like the reference voxelizer whose
             # max_voxels equals the full grid (mask_bev_encoders.py:69)
+            from mask_bev_tpu.ops.pallas_pfn import slots_pad_len
+
+            # sentinel tail lanes ride the pack's own stack write: the PFN
+            # kernel's tile alignment AND the canvas kernel's pre_padded
+            # sentinel tail both come without a separate full-stream pad pass
             p8 = pillarize_stream_packed(
                 points, point_mask, x_range=self.x_range,
                 y_range=self.y_range, z_range=self.z_range,
-                voxel_size=self.voxel_size)
-            feats, cells, stats = pfn.fused_slots(p8, canvas_pad=512)
+                voxel_size=self.voxel_size,
+                pad_to=slots_pad_len(points.shape[1], canvas_pad=512))
+            feats, cells, stats = pfn.fused_slots(
+                p8, canvas_pad=512, pre_padded=True)
             elems = jnp.float32(h * w * c)
             mean = stats[:, 0].sum(-1) / elems
             var = stats[:, 1].sum(-1) / elems - jnp.square(mean)

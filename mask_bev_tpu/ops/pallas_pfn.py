@@ -144,7 +144,10 @@ def _pfn_kernel(*args, n_layers: int, k: int, point_dim: int,
 
     for li in range(n_layers):
         wt, g, bias = weights[3 * li: 3 * li + 3]   # (out, in), (out,1), (out,1)
-        y = jnp.dot(wt[...], x, preferred_element_type=jnp.float32)
+        # dot in the weights' NATIVE dtype: bf16 params (compute_dtype) hit
+        # the bf16 MXU (~4x the f32 matmul rate); f32 params stay exact
+        y = jnp.dot(wt[...], x.astype(wt.dtype),
+                    preferred_element_type=jnp.float32)
         z = jnp.maximum(y * g[...] + bias[...], 0.0) * kept
         last = li == n_layers - 1
         pooled = _win_max(z, pid, k, symmetric=not last)
@@ -209,7 +212,9 @@ def fused_stream_pfn(
     ]
     w_args = []
     for (w, g, bias) in weights:
-        w_args += [w.astype(f32).T, g.astype(f32)[:, None],
+        # kernels ship in their native dtype (bf16 under compute_dtype) so
+        # the in-kernel dot runs on the bf16 MXU; BN affine stays f32
+        w_args += [w.T, g.astype(f32)[:, None],
                    bias.astype(f32)[:, None]]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
@@ -310,7 +315,9 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
 
     for li in range(n_layers):
         wt, g, bias = weights[3 * li: 3 * li + 3]
-        y = jnp.dot(wt[...], x, preferred_element_type=jnp.float32)
+        # native-dtype dot: bf16 weights hit the bf16 MXU (see _pfn_kernel)
+        y = jnp.dot(wt[...], x.astype(wt.dtype),
+                    preferred_element_type=jnp.float32)
         z = jnp.maximum(y * g[...] + bias[...], 0.0) * kept
         last = li == n_layers - 1
         pooled = _win_max(z, pid, k, symmetric=not last)
@@ -343,12 +350,20 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
         [cells[:, ctr], st8, jnp.zeros((5, tile), f32)], axis=0)  # (8, tile)
 
 
+def slots_pad_len(n: int, canvas_pad: int, tile: int = 1024) -> int:
+    """Padded slot-stream length :func:`fused_stream_pfn_slots` would use —
+    pass to ``pillarize_stream_packed(pad_to=...)`` so the sentinel tail is
+    written during the pack itself (then call with ``pre_padded=True``)."""
+    return ((n + canvas_pad + tile - 1) // tile) * tile
+
+
 def fused_stream_pfn_slots(
     p8: jax.Array,           # (B, 8, N): x y z inten pid 0 0 0, pid-sorted
     weights: List[Tuple[jax.Array, jax.Array, jax.Array]],
     *, point_dim: int, with_distance: bool, k: int, grid_w: int,
     grid_h: int, voxel_size: float, x0: float, y0: float,
-    tile: int = 1024, canvas_pad: int = 0, interpret: bool = False,
+    tile: int = 1024, canvas_pad: int = 0, pre_padded: bool = False,
+    interpret: bool = False,
 ):
     """Sorted packed stream -> (feats (B,N,C) bf16, cells (B,N) f32,
     stats (B,2,C) f32 [sum, sumsq] over the written feature rows).
@@ -363,11 +378,17 @@ def fused_stream_pfn_slots(
     bsz, eight, n = p8.shape
     assert eight == 8, p8.shape
     assert tile % 128 == 0, tile
-    n_pad = ((n + canvas_pad + tile - 1) // tile) * tile
-    if n_pad != n:
-        # pad lanes sit beyond n_real: the kernel masks their pid to -1, so
-        # they pool to zero features and sentinel cells
-        p8 = jnp.pad(p8, [(0, 0), (0, 0), (0, n_pad - n)])
+    if pre_padded:
+        # the producer already wrote the sentinel tail (zero features,
+        # sentinel pid) as part of the pack — see slots_pad_len
+        assert n % tile == 0, (n, tile)
+        n_pad = n
+    else:
+        n_pad = ((n + canvas_pad + tile - 1) // tile) * tile
+        if n_pad != n:
+            # pad lanes sit beyond n_real: the kernel masks their pid to -1,
+            # so they pool to zero features and sentinel cells
+            p8 = jnp.pad(p8, [(0, 0), (0, 0), (0, n_pad - n)])
     # kept at lane L needs a K-lane lookback, and the decorations reach K-1
     # lanes back from the first central lane, so the halo must cover 2K-1
     # lanes (the v1 kernel computed kept in XLA and only needed K)
@@ -393,7 +414,8 @@ def fused_stream_pfn_slots(
     ]
     w_args = []
     for (w, g, bias) in weights:
-        w_args += [w.astype(f32).T, g.astype(f32)[:, None],
+        # native dtype (see fused_stream_pfn): bf16 weights -> bf16 MXU
+        w_args += [w.T, g.astype(f32)[:, None],
                    bias.astype(f32)[:, None]]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 

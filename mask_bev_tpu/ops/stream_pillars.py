@@ -233,6 +233,7 @@ def pillarize_stream_packed(
     y_range: Tuple[float, float],
     z_range: Tuple[float, float],
     voxel_size: float,
+    pad_to: int = 0,
 ) -> jax.Array:
     """(B, N, D) + mask -> pid-sorted packed stream (B, 8, N) f32.
 
@@ -243,6 +244,11 @@ def pillarize_stream_packed(
     the ``grid_h*grid_w`` pid sentinel (they sort to the stream tail). The
     whole pillar directory (kept/is_first/starts/coords/valid) that
     :func:`pillarize_stream` builds in XLA lives in-kernel instead.
+
+    ``pad_to > n`` appends sentinel tail lanes (zero features, sentinel pid)
+    as part of the stack write itself — the PFN/canvas kernels' tile
+    alignment and sentinel tail come for free instead of costing a separate
+    full-stream ``jnp.pad`` round trip (pass ``pre_padded=True`` downstream).
     """
     b, n, d = points.shape
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
@@ -262,14 +268,20 @@ def pillarize_stream_packed(
                   0, grid_h - 1)
     pid = jnp.where(in_range, iy * grid_w + ix, sentinel)
 
+    n_out = max(pad_to, n)
+    tail = n_out - n
+
     def one(pid1, p1):
         cols = [p1[:, i].astype(jnp.float32) for i in range(min(d, 4))]
         ops = jax.lax.sort([pid1] + cols, dimension=0, is_stable=True,
                            num_keys=1)
-        z1 = jnp.zeros((n,), jnp.float32)
-        out = (list(ops[1:]) + [z1] * (4 - len(cols))
-               + [ops[0].astype(jnp.float32)] + [z1] * 3)
-        return jnp.stack(out, axis=0)  # (8, N)
+        z1 = jnp.zeros((n_out,), jnp.float32)
+        # tail pads fuse into the stack's output write (no extra pass)
+        vals = [jnp.pad(c, (0, tail)) for c in ops[1:]]
+        pidf = jnp.pad(ops[0].astype(jnp.float32), (0, tail),
+                       constant_values=float(sentinel))
+        out = vals + [z1] * (4 - len(cols)) + [pidf] + [z1] * 3
+        return jnp.stack(out, axis=0)  # (8, n_out)
 
     return jax.vmap(one)(pid, points)
 
