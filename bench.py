@@ -133,6 +133,44 @@ def main():
         lat.append(time.time() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
+    # training throughput at the reference envelope (batch 4;
+    # /root/reference/train_mask_bev.py:96-101) in bfloat16 — the full
+    # jitted step: forward + loss (Hungarian matching, deep supervision)
+    # + backward + adamw update. BENCH_TRAIN=0 skips it.
+    train = {}
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        from mask_bev_tpu.datasets.synthetic import make_batch
+        from mask_bev_tpu.train.step import (
+            create_train_state, make_train_step)
+
+        tb = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
+        tcfg = cfg.replace(batch_size=tb)
+        tmodel, state = create_train_state(tcfg, jax.random.PRNGKey(0))
+        step = jax.jit(make_train_step(tmodel, tcfg), donate_argnums=0)
+        tstaged = []
+        for s in range(2):
+            b = make_batch(np.random.default_rng(20 + s), tcfg,
+                           batch_size=tb)
+            tstaged.append({k: jnp.asarray(v) for k, v in b.items()
+                            if k != "num_instances"})
+        t0 = time.time()
+        state, logs, _ = step(state, tstaged[0], jax.random.PRNGKey(1))
+        float(logs["loss"])
+        train_compile_s = time.time() - t0
+        titers = 10
+        t0 = time.time()
+        for i in range(titers):
+            state, logs, _ = step(state, tstaged[i % 2],
+                                  jax.random.fold_in(jax.random.PRNGKey(1), i))
+        float(logs["loss"])
+        step_ms = (time.time() - t0) / titers * 1e3
+        train = {
+            "train_scans_per_sec": round(tb / (step_ms / 1e3), 2),
+            "train_step_ms": round(step_ms, 1),
+            "train_batch": tb,
+            "train_compile_s": round(train_compile_s, 1),
+        }
+
     watchdog.cancel()
     print(json.dumps({
         "metric": "kitti_scans_per_sec_per_chip",
@@ -143,6 +181,7 @@ def main():
         "batch": batch,
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        **train,
     }))
 
 

@@ -31,6 +31,9 @@ def main():
                     help="fused decoder-layer kernel (A/B use_pallas_head)")
     ap.add_argument("--int8", action="store_true",
                     help="int8-quantized backbone dense matmuls (A/B)")
+    ap.add_argument("--no-int8", action="store_true",
+                    help="force backbone_quantize='none' (A/B against the "
+                         "now-default int8 eval backbone)")
     ap.add_argument("--trace", type=str, default=None, metavar="DIR",
                     help="capture a jax.profiler trace of a few forward "
                          "steps into DIR (inspect with tensorboard or "
@@ -56,6 +59,8 @@ def main():
         cfg = cfg.replace(use_pallas_head=True)
     if args.int8:
         cfg = cfg.replace(backbone_quantize="int8")
+    if args.no_int8:
+        cfg = cfg.replace(backbone_quantize="none")
     model = MaskBev(cfg)
     n = cfg.max_points_per_scan
     r0 = np.random.default_rng(0)
