@@ -161,18 +161,23 @@ def _canvas_kernel(*refs, rows_per_block: int, width: int, sub: int,
         out_ref[0] = acc[...].astype(out_ref.dtype)
 
 
-def pick_rows_per_block(h: int, w: int) -> int:
+def pick_rows_per_block(h: int, w: int, slots: int = 0) -> int:
     """Block height r: must divide h with r*w divisible by 8 (Mosaic block
     sublane constraint); 0 if none exists (caller falls back to XLA).
-    Among valid r, prefer the smallest giving <= 128 blocks — fewer blocks
-    amortize the per-block chunk-rounding slack (measured ~1 ms/b8 on the
-    500-grid going from 250 to 125 blocks) without growing the selection
-    matmul, which scales with r*w x total-slots either way."""
+
+    The selection matmul costs O(r*w x executed-chunk-slots): smaller r
+    means proportionally fewer FLOPs but MORE per-block chunk-rounding
+    slack (each block rounds its slot range up to `sub`). With the r3
+    32k-pillar dense tables the slack dominated (250 blocks measured
+    ~1 ms/b8 slower than 125); with the r4 131k-slot streams (~4 chunks/
+    block at r=4) the FLOP term dominates, so `slots` >= 64k prefers the
+    smallest valid r (measured ~1 ms/b8 back the other way)."""
     first = 0
+    small = slots >= 65536
     for r in range(1, h + 1):
         if h % r == 0 and (r * w) % 8 == 0 and r * w <= 4096:
             first = first or r
-            if h // r <= 128:
+            if small or h // r <= 128:
                 return r
     return first
 
@@ -229,7 +234,7 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
     h, w = grid_hw
     b, p, c = table.shape
     if rows_per_block <= 0:
-        rows_per_block = pick_rows_per_block(h, w)
+        rows_per_block = pick_rows_per_block(h, w, slots=p)
         assert rows_per_block, (h, w)
     assert (h % rows_per_block) == 0, (h, rows_per_block)
     assert (rows_per_block * w) % 8 == 0, (rows_per_block, w)

@@ -11,9 +11,14 @@ output — device-stream ordering makes that a barrier for all K, and the
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: repeated profiles only recompile what changed
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():
