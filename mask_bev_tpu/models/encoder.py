@@ -197,12 +197,13 @@ class PillarFeatureNet(nn.Module):
             out.append((layer.linear.kernel, g, bias))
         return out
 
-    def fused_slots(self, p8, canvas_pad: int = 0, pre_padded: bool = False,
+    def fused_slots(self, cols, canvas_pad: int = 0, pre_padded: bool = False,
                     interpret: bool = False):
-        """Slot-form eval fast path: pid-sorted packed stream (B, 8, N) ->
-        (feats (B,N,C) bf16, cells (B,N) f32, stats (B,2,C)) via ONE Pallas
-        kernel — the pillar directory, table gather and norm-stat passes of
-        the XLA path all live in-kernel (see ops/pallas_pfn.py)."""
+        """Slot-form eval fast path: pid-sorted column streams (5 x (B, N):
+        x y z intensity pid) -> (feats (B,N,C) bf16, cells (B,N) f32, stats
+        (B,2,C)) via ONE Pallas kernel — the pillar directory, table gather
+        and norm-stat passes of the XLA path all live in-kernel (see
+        ops/pallas_pfn.py)."""
         from mask_bev_tpu.ops.pallas_pfn import fused_stream_pfn_slots
 
         grid_w = int(round((self.x_range[1] - self.x_range[0])
@@ -210,7 +211,7 @@ class PillarFeatureNet(nn.Module):
         grid_h = int(round((self.y_range[1] - self.y_range[0])
                            / self.voxel_size))
         return fused_stream_pfn_slots(
-            p8, self.folded_weights(),
+            cols, self.folded_weights(),
             point_dim=min(self.point_dim, 4),
             with_distance=self.with_distance,
             k=self.max_points_per_pillar, grid_w=grid_w, grid_h=grid_h,
@@ -417,16 +418,16 @@ class MaskBevEncoder(nn.Module):
             # max_voxels equals the full grid (mask_bev_encoders.py:69)
             from mask_bev_tpu.ops.pallas_pfn import slots_pad_len
 
-            # sentinel tail lanes ride the pack's own stack write: the PFN
-            # kernel's tile alignment AND the canvas kernel's pre_padded
+            # sentinel tail lanes ride the pack's own sort-output copies: the
+            # PFN kernel's tile alignment AND the canvas kernel's pre_padded
             # sentinel tail both come without a separate full-stream pad pass
-            p8 = pillarize_stream_packed(
+            cols = pillarize_stream_packed(
                 points, point_mask, x_range=self.x_range,
                 y_range=self.y_range, z_range=self.z_range,
                 voxel_size=self.voxel_size,
                 pad_to=slots_pad_len(points.shape[1], canvas_pad=512))
             feats, cells, stats = pfn.fused_slots(
-                p8, canvas_pad=512, pre_padded=True)
+                cols, canvas_pad=512, pre_padded=True)
             elems = jnp.float32(h * w * c)
             mean = stats[:, 0].sum(-1) / elems
             var = stats[:, 1].sum(-1) / elems - jnp.square(mean)

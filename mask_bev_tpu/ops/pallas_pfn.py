@@ -270,15 +270,21 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
                       with_distance: bool, nloads: int, grid_w: int,
                       n_cells: int, n_real: int, tile: int, halo: int,
                       voxel_size: float, x0: float, y0: float):
-    """args = x_load refs (nloads), [Wt_i, g_i, b_i] * n_layers,
+    """args = 5 * nloads column load refs (x y z inten pid, each column as
+    nloads (1, 128) blocks), [Wt_i, g_i, b_i] * n_layers,
     feat_ref, cells_ref, carry_ref."""
-    x_refs = args[:nloads]
-    weights = args[nloads: nloads + 3 * n_layers]
-    feat_ref, cells_ref, carry_ref = args[nloads + 3 * n_layers:]
+    x_refs = args[:5 * nloads]
+    weights = args[5 * nloads: 5 * nloads + 3 * n_layers]
+    feat_ref, cells_ref, carry_ref = args[5 * nloads + 3 * n_layers:]
 
     t = pl.program_id(1)
-    p = jnp.concatenate([r[0] for r in x_refs], axis=1)  # (8, span)
-    span = p.shape[1]
+    # each column arrives as its own lane-contiguous block stream (no
+    # channel-major (B, 8, N) stack exists anywhere — its strided write
+    # cost ~1.5 ms/b8)
+    colv = [jnp.concatenate([x_refs[c * nloads + j][0]
+                             for j in range(nloads)], axis=1)
+            for c in range(5)]  # 5 x (1, span)
+    span = colv[0].shape[1]
     f32 = jnp.float32
 
     # clamped block loads re-read interior blocks at the array edges; mask
@@ -287,7 +293,7 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, span), 1)
     gpos = t * tile + lanes - halo
     in_arr = (gpos >= 0) & (gpos < n_real)
-    pid = jnp.where(in_arr, p[_PID_COL:_PID_COL + 1, :], -1.0)  # (1, span)
+    pid = jnp.where(in_arr, colv[4], -1.0)  # (1, span)
 
     sent = f32(n_cells)
     is_real = (pid >= 0.0) & (pid < sent)
@@ -296,18 +302,21 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
     is_first = is_real & (_shift_fill(pid, -1, -1.0) != pid)
     firstf = is_first.astype(f32)
 
-    xyz = p[0:3, :]
+    xyz = jnp.concatenate(colv[0:3], axis=0)  # (3, span)
     # cluster mean over kept lanes: fwd + bwd windowed sums - self
-    w4 = jnp.concatenate([xyz, jnp.ones((1, span), p.dtype)], axis=0) * kept
+    w4 = jnp.concatenate([xyz, jnp.ones((1, span), xyz.dtype)],
+                         axis=0) * kept
     sums = (_win_sum_dir(w4, pid, k, 1) + _win_sum_dir(w4, pid, k, -1) - w4)
     mean = sums[0:3, :] / jnp.maximum(sums[3:4, :], 1.0)
 
     row = jnp.floor(pid * (1.0 / grid_w))
     cx = (pid - row * grid_w) * voxel_size + (x0 + 0.5 * voxel_size)
     cy = row * voxel_size + (y0 + 0.5 * voxel_size)
-    f_center = p[0:2, :] - jnp.concatenate([cx, cy], axis=0)
+    f_center = (jnp.concatenate(colv[0:2], axis=0)
+                - jnp.concatenate([cx, cy], axis=0))
 
-    parts = [p[0:point_dim, :], xyz - mean, f_center]
+    parts = [jnp.concatenate(colv[0:point_dim], axis=0), xyz - mean,
+             f_center]
     if with_distance:
         d2 = jnp.sum(xyz * xyz, axis=0, keepdims=True)
         parts.append(jnp.sqrt(d2))
@@ -358,14 +367,14 @@ def slots_pad_len(n: int, canvas_pad: int, tile: int = 1024) -> int:
 
 
 def fused_stream_pfn_slots(
-    p8: jax.Array,           # (B, 8, N): x y z inten pid 0 0 0, pid-sorted
+    cols,  # 5 x (B, N) f32: x, y, z, intensity, pid — pid-sorted streams
     weights: List[Tuple[jax.Array, jax.Array, jax.Array]],
     *, point_dim: int, with_distance: bool, k: int, grid_w: int,
     grid_h: int, voxel_size: float, x0: float, y0: float,
     tile: int = 1024, canvas_pad: int = 0, pre_padded: bool = False,
     interpret: bool = False,
 ):
-    """Sorted packed stream -> (feats (B,N,C) bf16, cells (B,N) f32,
+    """Sorted column streams -> (feats (B,N,C) bf16, cells (B,N) f32,
     stats (B,2,C) f32 [sum, sumsq] over the written feature rows).
 
     See the module comment above ``_pfn_slots_kernel`` for the slot-form
@@ -374,9 +383,14 @@ def fused_stream_pfn_slots(
     ``canvas_pad > 0`` the outputs keep >= that many sentinel tail slots
     (zero features, H*W cells) so the canvas kernel can use them directly
     with ``pre_padded=True`` — skipping its own 67 MB ``jnp.pad`` copy.
+
+    Each column arrives as its own (B, N) array (the lane-contiguous block
+    loads need no stacking — a channel-major (B, 8, N) stack costs a
+    sublane-strided write, measured ~1.5 ms/b8).
     """
-    bsz, eight, n = p8.shape
-    assert eight == 8, p8.shape
+    cols = list(cols)
+    assert len(cols) == 5, len(cols)
+    bsz, n = cols[0].shape
     assert tile % 128 == 0, tile
     if pre_padded:
         # the producer already wrote the sentinel tail (zero features,
@@ -388,7 +402,7 @@ def fused_stream_pfn_slots(
         if n_pad != n:
             # pad lanes sit beyond n_real: the kernel masks their pid to -1,
             # so they pool to zero features and sentinel cells
-            p8 = jnp.pad(p8, [(0, 0), (0, 0), (0, n_pad - n)])
+            cols = [jnp.pad(c, [(0, 0), (0, n_pad - n)]) for c in cols]
     # kept at lane L needs a K-lane lookback, and the decorations reach K-1
     # lanes back from the first central lane, so the halo must cover 2K-1
     # lanes (the v1 kernel computed kept in XLA and only needed K)
@@ -403,14 +417,19 @@ def fused_stream_pfn_slots(
     nblk = n_pad // 128
 
     f32 = jnp.float32
+    # each of the 5 columns streams in as nloads (1, 1, 128) lane-contiguous
+    # blocks — ordering matches the kernel's x_refs[c * nloads + j]. The
+    # (B, 1, N) view keeps Mosaic's sublane-divisibility rule happy (a
+    # (1, 128) block on a (B, N) array has an illegal 1-sublane block).
+    cols = [c.reshape(bsz, 1, n_pad) for c in cols]
     in_specs = [
         pl.BlockSpec(
-            (1, 8, 128),
+            (1, 1, 128),
             lambda b, i, j=j: (
                 b, 0,
                 jnp.clip(i * tile_blocks + j - halo_blocks, 0, nblk - 1)),
             memory_space=pltpu.VMEM)
-        for j in range(nloads)
+        for _c in range(5) for j in range(nloads)
     ]
     w_args = []
     for (w, g, bias) in weights:
@@ -444,7 +463,7 @@ def fused_stream_pfn_slots(
             vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*([p8] * nloads + w_args))
+    )(*([c for c in cols for _ in range(nloads)] + w_args))
 
     keep = n_pad if canvas_pad else n
     cells = cells8[:, 0, :keep]

@@ -234,19 +234,21 @@ def pillarize_stream_packed(
     z_range: Tuple[float, float],
     voxel_size: float,
     pad_to: int = 0,
-) -> jax.Array:
-    """(B, N, D) + mask -> pid-sorted packed stream (B, 8, N) f32.
+):
+    """(B, N, D) + mask -> pid-sorted column streams, 5 x (B, N) f32.
 
     The minimal eval-path pillarization for the slot-form PFN kernel
     (``ops/pallas_pfn.fused_stream_pfn_slots``): pid fusion + ONE stable
-    multi-operand sort + channel-major stack. Columns are
-    ``x y z intensity pid 0 0 0`` with out-of-range/invalid points carrying
-    the ``grid_h*grid_w`` pid sentinel (they sort to the stream tail). The
-    whole pillar directory (kept/is_first/starts/coords/valid) that
-    :func:`pillarize_stream` builds in XLA lives in-kernel instead.
+    multi-operand sort. Returns ``(x, y, z, intensity, pid)`` as SEPARATE
+    (B, N) arrays — the kernel loads each as its own lane-contiguous block
+    stream, so no (B, 8, N) channel-major stack exists (its write is
+    sublane-strided, measured ~1.5 ms/b8). Out-of-range/invalid points
+    carry the ``grid_h*grid_w`` pid sentinel (they sort to the stream
+    tail). The whole pillar directory (kept/is_first/starts/coords/valid)
+    that :func:`pillarize_stream` builds in XLA lives in-kernel instead.
 
     ``pad_to > n`` appends sentinel tail lanes (zero features, sentinel pid)
-    as part of the stack write itself — the PFN/canvas kernels' tile
+    fused into the sort-output copies — the PFN/canvas kernels' tile
     alignment and sentinel tail come for free instead of costing a separate
     full-stream ``jnp.pad`` round trip (pass ``pre_padded=True`` downstream).
     """
@@ -276,14 +278,13 @@ def pillarize_stream_packed(
         ops = jax.lax.sort([pid1] + cols, dimension=0, is_stable=True,
                            num_keys=1)
         z1 = jnp.zeros((n_out,), jnp.float32)
-        # tail pads fuse into the stack's output write (no extra pass)
         vals = [jnp.pad(c, (0, tail)) for c in ops[1:]]
+        vals += [z1] * (4 - len(cols))
         pidf = jnp.pad(ops[0].astype(jnp.float32), (0, tail),
                        constant_values=float(sentinel))
-        out = vals + [z1] * (4 - len(cols)) + [pidf] + [z1] * 3
-        return jnp.stack(out, axis=0)  # (8, n_out)
+        return tuple(vals) + (pidf,)
 
-    return jax.vmap(one)(pid, points)
+    return jax.vmap(one)(pid, points)  # 5 x (B, n_out)
 
 
 def gather_at_starts(stream_vals: jax.Array, starts: jax.Array, valid: jax.Array):
