@@ -155,10 +155,19 @@ def _canvas_kernel(*refs, rows_per_block: int, width: int, sub: int,
         rstd = jax.lax.rsqrt(stats_ref[b, 1] + eps)
         scale = scale_ref[0].astype(jnp.float32)   # (rw | 1, C)
         bias = bias_ref[0].astype(jnp.float32)
-        out_ref[0] = (((acc[...] - mean) * rstd) * scale
-                      + bias).astype(out_ref.dtype)
+        res = (((acc[...] - mean) * rstd) * scale + bias)
     else:
-        out_ref[0] = acc[...].astype(out_ref.dtype)
+        res = acc[...]
+    # batch-minor output: out block is (rw, B*C), revisited across the
+    # inner batch grid dim; each step stores its sample's C-wide lane
+    # slice at offset b*C (128-aligned, so Mosaic takes the dynamic
+    # store — a 1-SUBLANE slice of a (rw, B, C) block it rejects).
+    # (hw, b*c) row-major is bitcast-identical to the (b, h, w, c)
+    # {3,0,2,1} layout the patch-embed conv wants — the (B, HW, C) form
+    # cost a 512 MB/b8 layout copy (~1.6 ms) right after this kernel.
+    c_ = res.shape[-1]
+    out_ref[:, pl.ds(pl.multiple_of(b * c_, c_), c_)] = (
+        res.astype(out_ref.dtype))
 
 
 def pick_rows_per_block(h: int, w: int, slots: int = 0) -> int:
@@ -304,9 +313,9 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
         grid=(nblocks, b),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, rw, c), lambda blk, bi: (bi, blk, 0),
+            (rw, b * c), lambda blk, bi: (blk, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((h * w, b * c), table.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, sub, c), table.dtype),
             pltpu.VMEM((2, 1, sub), jnp.int32),
@@ -320,4 +329,7 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
-    return out.reshape(b, h, w, c)
+    # (hw, b*c) -> (b, h, w, c): pure layout relabeling — XLA folds the
+    # transpose+reshape into a bitcast because the physical order (cells
+    # major, then batch, then channels) IS the conv-preferred {3,0,2,1}
+    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))

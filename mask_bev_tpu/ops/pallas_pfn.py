@@ -359,7 +359,7 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
         [cells[:, ctr], st8, jnp.zeros((5, tile), f32)], axis=0)  # (8, tile)
 
 
-def slots_pad_len(n: int, canvas_pad: int, tile: int = 1024) -> int:
+def slots_pad_len(n: int, canvas_pad: int, tile: int = 4096) -> int:
     """Padded slot-stream length :func:`fused_stream_pfn_slots` would use —
     pass to ``pillarize_stream_packed(pad_to=...)`` so the sentinel tail is
     written during the pack itself (then call with ``pre_padded=True``)."""
@@ -371,8 +371,8 @@ def fused_stream_pfn_slots(
     weights: List[Tuple[jax.Array, jax.Array, jax.Array]],
     *, point_dim: int, with_distance: bool, k: int, grid_w: int,
     grid_h: int, voxel_size: float, x0: float, y0: float,
-    tile: int = 1024, canvas_pad: int = 0, pre_padded: bool = False,
-    interpret: bool = False,
+    tile: int = 4096, block_l: int = 512, canvas_pad: int = 0,
+    pre_padded: bool = False, interpret: bool = False,
 ):
     """Sorted column streams -> (feats (B,N,C) bf16, cells (B,N) f32,
     stats (B,2,C) f32 [sum, sumsq] over the written feature rows).
@@ -391,7 +391,8 @@ def fused_stream_pfn_slots(
     cols = list(cols)
     assert len(cols) == 5, len(cols)
     bsz, n = cols[0].shape
-    assert tile % 128 == 0, tile
+    block_l = min(block_l, tile)
+    assert tile % block_l == 0 and block_l % 128 == 0, (tile, block_l)
     if pre_padded:
         # the producer already wrote the sentinel tail (zero features,
         # sentinel pid) as part of the pack — see slots_pad_len
@@ -405,26 +406,30 @@ def fused_stream_pfn_slots(
             cols = [jnp.pad(c, [(0, 0), (0, n_pad - n)]) for c in cols]
     # kept at lane L needs a K-lane lookback, and the decorations reach K-1
     # lanes back from the first central lane, so the halo must cover 2K-1
-    # lanes (the v1 kernel computed kept in XLA and only needed K)
-    halo = ((max(2 * k - 1, 1) + 127) // 128) * 128
+    # lanes; it is rounded up to the load-block width (index maps move in
+    # block_l units)
+    halo = ((max(2 * k - 1, 1) + block_l - 1) // block_l) * block_l
     n_layers = len(weights)
     c_out = weights[-1][0].shape[1]
     assert c_out <= tile, (c_out, tile)
     span = tile + 2 * halo
-    nloads = span // 128
-    tile_blocks = tile // 128
-    halo_blocks = halo // 128
-    nblk = n_pad // 128
+    nloads = span // block_l
+    tile_blocks = tile // block_l
+    halo_blocks = halo // block_l
+    nblk = n_pad // block_l
 
     f32 = jnp.float32
-    # each of the 5 columns streams in as nloads (1, 1, 128) lane-contiguous
-    # blocks — ordering matches the kernel's x_refs[c * nloads + j]. The
-    # (B, 1, N) view keeps Mosaic's sublane-divisibility rule happy (a
-    # (1, 128) block on a (B, N) array has an illegal 1-sublane block).
+    # each of the 5 columns streams in as nloads (1, 1, block_l)
+    # lane-contiguous blocks — ordering matches the kernel's
+    # x_refs[c * nloads + j]. block_l trades DMA count against halo
+    # overlap: 512 lanes = 2 KB per DMA (50 x 512 B at 128 was
+    # issue-overhead-bound). The (B, 1, N) view keeps Mosaic's
+    # sublane-divisibility rule happy (a (1, 128) block on a (B, N)
+    # array has an illegal 1-sublane block).
     cols = [c.reshape(bsz, 1, n_pad) for c in cols]
     in_specs = [
         pl.BlockSpec(
-            (1, 1, 128),
+            (1, 1, block_l),
             lambda b, i, j=j: (
                 b, 0,
                 jnp.clip(i * tile_blocks + j - halo_blocks, 0, nblk - 1)),
