@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--no-int8", action="store_true",
                     help="force backbone_quantize='none' (A/B against the "
                          "now-default int8 eval backbone)")
+    ap.add_argument("--full", action="store_true",
+                    help="also time the whole forward as ONE jit (the bench "
+                         "configuration — cross-stage layouts/fusions live)")
     ap.add_argument("--trace", type=str, default=None, metavar="DIR",
                     help="capture a jax.profiler trace of a few forward "
                          "steps into DIR (inspect with tensorboard or "
@@ -112,12 +115,24 @@ def main():
     t("backbone", bck, [(variables, x) for x in xs])
     t("head", hed, [(variables, f) for f in fs])
 
+    if args.full:
+        full = jax.jit(lambda v, p, m: model.apply(
+            v, model.apply(v, model.apply(
+                v, p.astype(jnp.bfloat16), m, train=False,
+                method=MaskBev.forward_encode), train=False,
+                method=MaskBev.forward_backbone), train=False,
+            final_only=True, method=MaskBev.pred_masks))
+        t("full", full, [(variables, s, dm) for s in staged])
+
     if args.trace:
         with jax.profiler.trace(args.trace):
             for i in range(3):
-                x = enc(variables, staged[i % len(staged)], dm)
-                f = bck(variables, x)
-                o = hed(variables, f)
+                if args.full:
+                    o = full(variables, staged[i % len(staged)], dm)
+                else:
+                    x = enc(variables, staged[i % len(staged)], dm)
+                    f = bck(variables, x)
+                    o = hed(variables, f)
             leaf_sum(o)
         print(f"trace written to {args.trace}")
 
