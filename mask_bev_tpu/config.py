@@ -222,11 +222,12 @@ def semantic_kitti_default() -> MaskBevConfig:
         name="semantic_kitti_default", dataset="semantic_kitti",
         x_range=(-40, 40), y_range=(-40, 40), z_range=(-20, 20),
         voxel_size=0.16, num_queries=45, head_num_classes=1,
-        # int8 eval backbone: end-metric validated against f32 by the
-        # synthetic cross-implementation harness (delta map -0.002,
-        # miou -0.0037; measurements/r4/accuracy_parity.json) for a
-        # measured ~13% backbone speedup. Training never quantizes.
-        backbone_quantize="int8",
+        # int8 eval backbone stays OPT-IN: the round-4 end-metric
+        # validation (measurements/r4/accuracy_parity.json) sat at the
+        # mAP noise floor, too weak to flip the flagship's eval numerics
+        # away from the f32 reference by default. Set
+        # backbone_quantize='int8' explicitly for the ~13% backbone
+        # speedup once parity is shown at signal level.
     )
 
 

@@ -237,9 +237,11 @@ class MaskMeanAveragePrecision:
         """Greedy score-order matching for every class at ALL IoU thresholds
         in one pass (torchmetrics/COCOeval semantics): each detection takes
         the available same-class gt of highest IoU >= threshold. Ties break
-        to the FIRST gt index — COCOeval's gt scan only switches on strictly
-        greater IoU (pycocotools cocoeval.py ``evaluateImg``), and np.argmax
-        returns the first maximum. Vectorized over the threshold axis — the
+        to the LAST gt index — COCOeval's gt scan skips only on strictly
+        SMALLER IoU (``if ious[dind,gind] < iou: continue``, pycocotools
+        cocoeval.py ``evaluateImg``), so an equal IoU still updates the
+        match and the final gt of the tie wins. Vectorized over the
+        threshold axis — the
         per-detection loop is the only python loop, so an epoch-end compute
         stays O(total detections) host-side.
 
@@ -272,8 +274,8 @@ class MaskMeanAveragePrecision:
                 tp = np.zeros((nt, ps.size))
                 for di, d in enumerate(order):
                     masked = np.where(taken, -1.0, ious[d][None, :])  # (T, G)
-                    # first gt index among ties (COCOeval strict-greater scan)
-                    best_g = np.argmax(masked, axis=1)
+                    # LAST gt index among ties (COCOeval updates on >=)
+                    best_g = (g - 1) - np.argmax(masked[:, ::-1], axis=1)
                     best_iou = masked[np.arange(nt), best_g]
                     hit = best_iou >= ts
                     taken[hit, best_g[hit]] = True

@@ -242,6 +242,11 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
     """
     h, w = grid_hw
     b, p, c = table.shape
+    # batch-minor output stores slice the lane axis at offset b*C, which
+    # Mosaic only accepts when the offset is 128-aligned (interpret mode
+    # has no such constraint, so small-C tests stay valid)
+    assert interpret or c % 128 == 0, (
+        f"canvas_from_table on TPU needs C % 128 == 0, got C={c}")
     if rows_per_block <= 0:
         rows_per_block = pick_rows_per_block(h, w, slots=p)
         assert rows_per_block, (h, w)

@@ -225,16 +225,17 @@ def test_mask_map_oracle_score_order_greedy():
     assert d["map"] == pytest.approx(0.6, abs=1e-9)
 
 
-def test_mask_map_oracle_gt_tie_breaks_first():
-    """Exact IoU tie between two gts: COCOeval's scan only switches on
-    strictly-greater IoU, so the FIRST gt wins. d0 ties (.82/.82) and must
-    take g0, leaving d1 (IoU .92 to g0, .3 to g1) unmatched below t=.85.
+def test_mask_map_oracle_gt_tie_breaks_last():
+    """Exact IoU tie between two gts: COCOeval's gt scan skips only on
+    strictly-smaller IoU (``if ious < iou: continue``), so an equal IoU
+    still updates the match — the LAST gt of the tie wins. d0 ties
+    (.82/.82) and must take g1, leaving g0 (IoU .92 to d1) free.
 
-    2 GT. t=.50..-.80 (7): TP(g0),FP -> rc .5 -> AP = 51/101 = .5049505
+    2 GT. t=.50..-.80 (7): TP(g1), TP(g0) -> rc 1, prec 1 -> AP = 1
     t=.85/.90: FP (.82<t), TP (g0 free, .92>=t) -> AP = 25.5/101 = .2524752
-    t=.95: 0. map = (7*.5049505 + 2*.2524752)/10 = 0.4039604
-    (A last-max tie-break would send d0 to g1, make d1 a TP via g0, and
-    inflate map to 0.7504951 — the case this oracle exists to catch.)
+    t=.95: 0. map = (7*1 + 2*.2524752)/10 = 0.7504951
+    (A first-max tie-break would send d0 to g0, make d1 a FP below t=.85,
+    and deflate map to 0.4039604 — the case this oracle exists to catch.)
     """
     m = _mk_map_from_ious([(
         [0.9, 0.8], [1, 1], [1, 1],
@@ -242,8 +243,8 @@ def test_mask_map_oracle_gt_tie_breaks_first():
          [0.92, 0.30]],
     )])
     d = m.compute_dict()
-    assert d["map_50"] == pytest.approx(0.5049505, abs=1e-6)
-    assert d["map"] == pytest.approx(0.4039604, abs=1e-6)
+    assert d["map_50"] == pytest.approx(1.0, abs=1e-6)
+    assert d["map"] == pytest.approx(0.7504951, abs=1e-6)
 
 
 def test_mask_map_oracle_no_trapezoid_ramp():
