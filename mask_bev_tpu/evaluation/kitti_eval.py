@@ -204,28 +204,115 @@ def compute_statistics(
     return tp, fp, fn, similarity, matched_scores
 
 
+def compute_statistics_multi(
+    overlaps: np.ndarray,  # (num_gt, num_dt)
+    gt_ignored: np.ndarray,
+    dt_ignored: np.ndarray,
+    dt_scores: np.ndarray,
+    min_overlap: float,
+    thresholds: np.ndarray,  # (T,)
+    gt_alphas: np.ndarray = None,
+    dt_alphas: np.ndarray = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`compute_statistics` vectorized across score thresholds.
+
+    The greedy matcher's state depends on the threshold only through
+    ``valid_det``, so one pass over the gts can carry the (T, num_dt)
+    assignment state for every threshold at once — this is what makes the
+    full-split eval tractable without numba (the reference needed
+    ``fused_compute_statistics`` + numba.jit for the same reason, reference
+    kitti_eval.py:266,396). Returns (tp, fp, fn, similarity) each (T,).
+
+    Matcher semantics per gt (proved equal to the scalar loop in
+    tests/test_kitti_eval.py): among valid unassigned candidates with
+    ov >= min_overlap, pick the first-wins argmax-overlap NON-ignored det
+    if any exists, else the first ignored det; ignored gts consume their
+    det but count toward nothing.
+    """
+    num_gt, num_dt = overlaps.shape
+    nt = len(thresholds)
+    tp = np.zeros(nt, np.int64)
+    fn = np.zeros(nt, np.int64)
+    sim = np.zeros(nt, np.float64)
+    if num_dt == 0:
+        if num_gt:
+            fn[:] = int(np.sum(gt_ignored == 0))
+        return tp, np.zeros(nt, np.int64), fn, sim
+
+    valid = (dt_scores[None, :] >= np.asarray(thresholds)[:, None]) \
+        & (dt_ignored[None, :] != -1)                      # (T, D)
+    assigned = np.zeros((nt, num_dt), bool)
+    dt_norm = (dt_ignored == 0)[None, :]
+    dt_ign1 = (dt_ignored == 1)[None, :]
+    rows = np.arange(nt)
+    for i in range(num_gt):
+        if gt_ignored[i] == -1:
+            continue
+        reach = overlaps[i][None, :] >= min_overlap
+        cand = valid & ~assigned & reach
+        cand_n = cand & dt_norm
+        has_n = cand_n.any(1)
+        # first-wins argmax == the scalar loop's strict '>' update
+        ovm = np.where(cand_n, overlaps[i][None, :], -1.0)
+        j_n = ovm.argmax(1)
+        cand_i = cand & dt_ign1
+        has_i = cand_i.any(1)
+        j_i = cand_i.argmax(1)                 # first True
+        det = np.where(has_n, j_n, np.where(has_i, j_i, -1))
+        hit = det >= 0
+        assigned[rows[hit], det[hit]] = True
+        if gt_ignored[i] == 0:
+            fn += ~hit
+            is_tp = has_n                      # det normal => counted TP
+            tp += is_tp
+            if gt_alphas is not None and dt_alphas is not None:
+                delta = float(gt_alphas[i]) - dt_alphas[j_n]
+                sim += np.where(is_tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+    fp = np.sum(valid & ~assigned & dt_norm, axis=1)
+    return tp, fp, fn, sim
+
+
+def _frame_overlaps(gt: dict, dt: dict, metric: str) -> np.ndarray:
+    if metric == "bbox":
+        return image_box_overlap(np.asarray(gt["bbox"]).reshape(-1, 4),
+                                 np.asarray(dt["bbox"]).reshape(-1, 4))
+    if metric == "bev":
+        return bev_box_overlap(gt, dt)
+    if metric == "3d":
+        return d3_box_overlap(gt, dt)
+    raise ValueError(metric)
+
+
+def prepare_overlaps(gt_annos: List[dict], dt_annos: List[dict],
+                     metric: str) -> List[np.ndarray]:
+    """Per-frame (num_gt, num_dt) overlap matrices for one metric.
+
+    Overlaps depend on neither difficulty nor min_overlap, so callers
+    sweeping those (official 3 difficulties, COCO 10-point overlap sweep)
+    compute them ONCE per metric (the reference batches this the same way:
+    ``calculate_iou_partly`` reference kitti_eval.py:386-460).
+    """
+    return [_frame_overlaps(gt, dt, metric)
+            for gt, dt in zip(gt_annos, dt_annos)]
+
+
 def eval_class(gt_annos: List[dict], dt_annos: List[dict], current_class: int,
                difficulty: int, metric: str, min_overlap: float,
-               compute_aos: bool = False
+               compute_aos: bool = False,
+               overlaps: Optional[List[np.ndarray]] = None,
                ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """(precision, aos) curves at 41 recall points for one
     (class, difficulty, metric); aos is None unless requested (bbox only,
-    reference :593-681)."""
+    reference :593-681). ``overlaps`` optionally injects per-frame matrices
+    from :func:`prepare_overlaps` (they are metric-only)."""
     assert len(gt_annos) == len(dt_annos)
     per_frame = []
     total_valid_gt = 0
-    for gt, dt in zip(gt_annos, dt_annos):
+    for fi, (gt, dt) in enumerate(zip(gt_annos, dt_annos)):
         num_valid, ig_gt, ig_dt = clean_data(gt, dt, current_class, difficulty)
         total_valid_gt += num_valid
-        if metric == "bbox":
-            ov = image_box_overlap(np.asarray(gt["bbox"]).reshape(-1, 4),
-                                   np.asarray(dt["bbox"]).reshape(-1, 4))
-        elif metric == "bev":
-            ov = bev_box_overlap(gt, dt)
-        elif metric == "3d":
-            ov = d3_box_overlap(gt, dt)
-        else:
-            raise ValueError(metric)
+        ov = overlaps[fi] if overlaps is not None else _frame_overlaps(
+            gt, dt, metric)
         ga = np.asarray(gt.get("alpha", np.zeros(len(ig_gt)))).reshape(-1)
         da = np.asarray(dt.get("alpha", np.zeros(len(ig_dt)))).reshape(-1)
         per_frame.append((ov, ig_gt, ig_dt,
@@ -244,21 +331,24 @@ def eval_class(gt_annos: List[dict], dt_annos: List[dict], current_class: int,
         all_scores.extend(ms)
     thresholds = get_thresholds(np.asarray(all_scores), total_valid_gt)
 
+    nt = len(thresholds)
+    tp = np.zeros(nt, np.int64)
+    fp = np.zeros(nt, np.int64)
+    sim = np.zeros(nt, np.float64)
+    for ov, ig_gt, ig_dt, scores, ga, da in per_frame:
+        a, b, _, s = compute_statistics_multi(
+            ov, ig_gt, ig_dt, scores, min_overlap, thresholds,
+            gt_alphas=ga if compute_aos else None,
+            dt_alphas=da if compute_aos else None)
+        tp += a; fp += b; sim += s
+
     precision = np.zeros(N_SAMPLE_PTS)
     aos = np.zeros(N_SAMPLE_PTS) if compute_aos else None
-    for t_idx, thresh in enumerate(thresholds):
-        tp = fp = fn = 0
-        sim = 0.0
-        for ov, ig_gt, ig_dt, scores, ga, da in per_frame:
-            a, b, c, s, _ = compute_statistics(
-                ov, ig_gt, ig_dt, scores, min_overlap, thresh,
-                gt_alphas=ga if compute_aos else None,
-                dt_alphas=da if compute_aos else None)
-            tp += a; fp += b; fn += c; sim += s
-        if tp + fp > 0:
-            precision[t_idx] = tp / (tp + fp)
-            if compute_aos:
-                aos[t_idx] = sim / (tp + fp)
+    denom = tp + fp
+    ok = denom > 0
+    precision[:nt][ok] = tp[ok] / denom[ok]
+    if compute_aos:
+        aos[:nt][ok] = sim[ok] / denom[ok]
     # envelope (official: curve[i] = max(curve[i:]))
     for i in range(N_SAMPLE_PTS):
         precision[i] = precision[i:].max()
@@ -308,11 +398,13 @@ def get_official_eval_result(gt_annos: List[dict], dt_annos: List[dict],
         out[name] = {}
         for metric in ("bbox", "bev", "3d"):
             min_ov = DEFAULT_MIN_OVERLAPS[cls][("bbox", "bev", "3d").index(metric)]
+            ovs = prepare_overlaps(gt_annos, dt_annos, metric)
             aps, aoss = [], []
             for diff in difficulties:
                 prec, aos = eval_class(
                     gt_annos, dt_annos, cls, diff, metric, min_ov,
-                    compute_aos=compute_aos and metric == "bbox")
+                    compute_aos=compute_aos and metric == "bbox",
+                    overlaps=ovs)
                 aps.append(get_mAP(prec))
                 if aos is not None:
                     aoss.append(get_mAP(aos))
@@ -348,13 +440,15 @@ def get_coco_eval_result(gt_annos: List[dict], dt_annos: List[dict],
         overlaps = np.linspace(lo, hi, num)
         out[name] = {}
         for metric in ("bbox", "bev", "3d"):
+            ovs = prepare_overlaps(gt_annos, dt_annos, metric)
             aps = np.zeros((len(difficulties), len(overlaps)))
             aoss = np.zeros_like(aps)
             for oi, min_ov in enumerate(overlaps):
                 for di, diff in enumerate(difficulties):
                     prec, aos = eval_class(
                         gt_annos, dt_annos, cls, diff, metric, float(min_ov),
-                        compute_aos=compute_aos and metric == "bbox")
+                        compute_aos=compute_aos and metric == "bbox",
+                        overlaps=ovs)
                     aps[di, oi] = get_mAP(prec)
                     if aos is not None:
                         aoss[di, oi] = get_mAP(aos)

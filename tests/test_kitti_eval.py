@@ -206,3 +206,55 @@ def test_mask_to_boxes_anisotropic_grid():
     np.testing.assert_allclose(boxes[0, :2], [4.0, -2.0], atol=0.5)
     dims = sorted(boxes[0, 2:4].tolist())
     assert dims == pytest.approx([3.0, 8.0], abs=0.7)
+
+
+def test_compute_statistics_multi_matches_scalar():
+    """The threshold-vectorized matcher reproduces the scalar greedy loop
+    bit-for-bit across randomized frames (incl. ignored gts/dts, ties)."""
+    from mask_bev_tpu.evaluation.kitti_eval import compute_statistics_multi
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        ng = int(rng.integers(0, 9))
+        nd = int(rng.integers(0, 12))
+        ov = rng.uniform(0, 1, (ng, nd))
+        # force exact ties sometimes
+        if ng >= 2 and nd >= 2 and rng.random() < 0.5:
+            ov[0, :] = ov[-1, :]
+            ov[:, 0] = ov[:, -1]
+        ig_gt = rng.choice([-1, 0, 0, 0, 1], ng)
+        ig_dt = rng.choice([-1, 0, 0, 0, 1], nd)
+        scores = np.round(rng.uniform(0, 1, nd), 2)
+        ga = rng.uniform(-np.pi, np.pi, ng)
+        da = rng.uniform(-np.pi, np.pi, nd)
+        thr = np.round(np.sort(rng.uniform(0, 1, 5))[::-1], 2)
+        min_ov = 0.5
+        tp, fp, fn, sim = compute_statistics_multi(
+            ov, ig_gt, ig_dt, scores, min_ov, thr,
+            gt_alphas=ga, dt_alphas=da)
+        for t_idx, t in enumerate(thr):
+            a, b, c, s, _ = compute_statistics(
+                ov, ig_gt, ig_dt, scores, min_ov, float(t),
+                gt_alphas=ga, dt_alphas=da)
+            assert (a, b, c) == (tp[t_idx], fp[t_idx], fn[t_idx]), (
+                t_idx, ng, nd)
+            np.testing.assert_allclose(s, sim[t_idx], atol=1e-12)
+
+
+def test_eval_class_overlap_injection_identical():
+    """eval_class(overlaps=prepare_overlaps(...)) == recomputing inline."""
+    from mask_bev_tpu.evaluation.kitti_eval import prepare_overlaps
+
+    rng = np.random.default_rng(3)
+    gts, dts = [], []
+    for _ in range(6):
+        n = int(rng.integers(1, 6))
+        centers = np.column_stack([
+            rng.uniform(5, 60, n), rng.uniform(-20, 20, n), np.zeros(n)])
+        gts.append(_gt(centers))
+        jitter = centers + rng.normal(0, 0.4, centers.shape)
+        dts.append(_dt(jitter, rng.uniform(0.3, 1, n)))
+    ovs = prepare_overlaps(gts, dts, "bev")
+    p1, _ = eval_class(gts, dts, 0, 1, "bev", 0.5)
+    p2, _ = eval_class(gts, dts, 0, 1, "bev", 0.5, overlaps=ovs)
+    np.testing.assert_array_equal(p1, p2)
