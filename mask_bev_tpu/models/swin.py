@@ -344,9 +344,10 @@ class SwinBlock(nn.Module):
 
     def fused_col(self, xc, hw: Tuple[int, int], hw_pad: Tuple[int, int],
                   roll_in: int, interpret: bool = False,
-                  quantize: bool = False):
-        """Col-major-band variant with banded-chunk attention (see
-        ``ops/pallas_swin_block.py``). ``xc``: (B, nwh, Tp, C) bands."""
+                  quantize: bool = False, attn_mode: str = "banded"):
+        """Col-major-band variant with banded-chunk or window-aligned
+        (``attn_mode='wpair'``) attention (see ``ops/pallas_swin_block.py``).
+        ``xc``: (B, nwh, Tp, C) bands."""
         from mask_bev_tpu.ops.pallas_swin_block import fused_swin_block_col
 
         hp, wp = hw_pad
@@ -363,8 +364,8 @@ class SwinBlock(nn.Module):
             self.ffn_2.kernel, self.ffn_2.bias,
             h=hw[0], w=hw[1], hp=hp, wp=wp, win=self.window,
             num_heads=self.num_heads,
-            roll_in=roll_in, shift=shift, quantize=quantize,
-            interpret=interpret)
+            roll_in=roll_in, shift=shift, attn_mode=attn_mode,
+            quantize=quantize, interpret=interpret)
         return out, shift
 
 
@@ -471,7 +472,10 @@ class SwinTransformer(nn.Module):
     fused_interpret: bool = False  # run the fused path in interpret mode (tests)
     # 'col': col-major bands + banded-chunk attention for large unscanned
     # stages (bands >= col_min_band tokens) — ~3.4x fewer attention FLOPs
-    # at stage 0 (tests lower col_min_band to force the path on tiny grids)
+    # at stage 0 (tests lower col_min_band to force the path on tiny grids).
+    # 'wpair': col-major bands + window-aligned chunk attention
+    # (_wpair_plan) — near-ideal attention FLOPs/softmax (~8x less than
+    # 'row' at stage 0, ~2x less than 'col')
     band_layout: str = "row"
     col_min_band: int = 512
     # int8 dynamic quantization of the fused blocks' dense matmuls (row
@@ -619,10 +623,12 @@ class SwinTransformer(nn.Module):
                     x.reshape(b, hh, ww, dim),
                     ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0)))
                 tband = wp * win
-                if self.band_layout == "col" and tband >= self.col_min_band:
-                    # col-major bands: banded-chunk attention (one repack
-                    # in/out per stage; rows un-roll like the row path —
-                    # band g holds canonical rows g*win + roll + [0, win))
+                if (self.band_layout in ("col", "wpair")
+                        and tband >= self.col_min_band):
+                    # col-major bands: banded-chunk (or window-aligned
+                    # 'wpair') attention (one repack in/out per stage; rows
+                    # un-roll like the row path — band g holds canonical
+                    # rows g*win + roll + [0, win))
                     from mask_bev_tpu.ops.pallas_swin_block import (
                         from_col_bands, to_col_bands)
 
@@ -633,7 +639,10 @@ class SwinTransformer(nn.Module):
                         xc, roll = blk.fused_col(
                             xc, hw, (hp, wp), roll,
                             interpret=self.fused_interpret,
-                            quantize=self.quantize_int8)
+                            quantize=self.quantize_int8,
+                            attn_mode=("wpair"
+                                       if self.band_layout == "wpair"
+                                       else "banded"))
                     xg = from_col_bands(xc, win, hp, wp)
                 else:
                     xg = xg.reshape(b, hp * wp, dim)

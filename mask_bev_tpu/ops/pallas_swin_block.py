@@ -361,13 +361,55 @@ def _col_chunk_starts(tp: int, chunk: int, key_w: int):
             for i in range(tp // chunk)]
 
 
+def _wpair_plan(tp: int, win: int, shift: int):
+    """Static window-aligned attention plan for one col-major band.
+
+    In col-major band order every (shifted) window is a contiguous token
+    range, and window boundaries fall at multiples of win**2 (shifted: at
+    ``j*win**2 - shift*win``). Query chunks of ``own = k*win**2`` tokens
+    (the largest multiple of win**2 that is <= 256 and sublane-aligned)
+    therefore never split a window across the chunks' OWNED ranges, so
+    each chunk's keys are just its own range plus an aligned
+    ``shift*win`` margin — near-ideal attention FLOPs (the banded
+    chunk=128/key_w=384 scheme pays ~2x more keys per query, and the
+    full-band form ~wp/win x).
+
+    Returns (q_starts, k_starts, own_lo, qs, ks) — all-static lists; the
+    i-th chunk computes attention for rows [q_starts[i], +qs) against keys
+    [k_starts[i], +ks) and OWNS output rows [own_lo[i], qs) of its local
+    range (disjoint cover of [0, tp)). None when win**2 cannot tile (no
+    aligned multiple <= 256) or the margins do not fit tp.
+    """
+    win2 = win * win
+    own = 0
+    for kk in range(max(256 // win2, 1), 0, -1):
+        if (kk * win2) % 8 == 0:
+            own = kk * win2
+            break
+    if own == 0 or tp < own:
+        return None
+    m = int(np.ceil(tp / own))
+    q_starts = [min(i * own, tp - own) for i in range(m)]
+    own_lo = [0] * m
+    if m > 1:
+        own_lo[-1] = m * own - tp
+    margin = ((shift * win + 7) // 8) * 8 if shift else 0
+    ks = own + 2 * margin
+    if ks > tp:
+        return None
+    k_starts = [min(max(q - margin, 0), tp - ks) for q in q_starts]
+    return q_starts, k_starts, own_lo, own, ks
+
+
 def build_band_bias_col(rel_hnn, *, win: int, wp: int, shift: int, tp: int,
-                        chunk: int, key_w: int, dtype):
+                        chunk: int, key_w: int, dtype, plan=None):
     """Additive attention bias for one col-major band.
 
     Returns (V, nch, heads, chunk, key_w) banded chunks when
     ``key_w < tp`` else the full (V, heads, tp, tp) matrix. V = 2 variants
-    for shifted blocks (interior band / last band), else 1.
+    for shifted blocks (interior band / last band), else 1. With ``plan``
+    (from :func:`_wpair_plan`) the chunk ranges come from the plan instead
+    of the uniform chunk/key_w stride.
     """
     heads, n, _ = rel_hnn.shape
     t = np.arange(tp)
@@ -389,17 +431,22 @@ def build_band_bias_col(rel_hnn, *, win: int, wp: int, shift: int, tp: int,
         reg_rows = [np.zeros_like(r)]
 
     rel32 = rel_hnn.astype(jnp.float32)
-    nch = tp // chunk
-    starts = _col_chunk_starts(tp, chunk, key_w)
-    banded = key_w < tp
+    if plan is not None:
+        q_starts, k_starts, _, chunk, key_w = plan
+        spans = list(zip(q_starts, k_starts))
+        banded = True
+    else:
+        spans = [(i * chunk, k0)
+                 for i, k0 in enumerate(_col_chunk_starts(tp, chunk, key_w))]
+        banded = key_w < tp
     variants = []
     for regr in reg_rows:
         reg = regr * 3 + regc
         ok = same_w & (reg[:, None] == reg[None, :])
         if banded:
             rows = []
-            for i, k0 in enumerate(starts):
-                q_sl = slice(i * chunk, (i + 1) * chunk)
+            for q0, k0 in spans:
+                q_sl = slice(q0, q0 + chunk)
                 k_sl = slice(k0, k0 + key_w)
                 blk = jnp.einsum(
                     "tn,hnm,sm->hts", p_sel[q_sl], rel32, p_sel[k_sl])
@@ -413,7 +460,7 @@ def build_band_bias_col(rel_hnn, *, win: int, wp: int, shift: int, tp: int,
 
 
 def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
-                      nloads, chunk, key_w, quant: bool = False):
+                      nloads, chunk, key_w, plan=None, quant: bool = False):
     if quant:
         (x_refs, (bias_ref, ln1_ref, wqkv_ref, wqkv_s, bqkv_ref,
                   projw_ref, projw_s, projb_ref, ln2_ref, w1_ref, w1_s,
@@ -461,15 +508,21 @@ def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
             y, wqkv_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) + bqkv_ref[...]
 
-    if banded:
-        starts = _col_chunk_starts(tp, chunk, key_w)
+    if plan is not None or banded:
+        if plan is not None:
+            q_starts, k_starts, own_lo, qs, ksz = plan
+            spans = list(zip(q_starts, k_starts, own_lo))
+        else:
+            qs, ksz = chunk, key_w
+            spans = [(i * chunk, k0, 0) for i, k0 in
+                     enumerate(_col_chunk_starts(tp, chunk, key_w))]
         o_rows = []
-        for i, k0 in enumerate(starts):
+        for i, (q0, k0, lo) in enumerate(spans):
             cols = []
             for hh in range(heads):
-                q = qkv[i * chunk:(i + 1) * chunk, hh * hd:(hh + 1) * hd]
-                k = qkv[k0:k0 + key_w, c + hh * hd: c + (hh + 1) * hd]
-                v = qkv[k0:k0 + key_w, 2 * c + hh * hd: 2 * c + (hh + 1) * hd]
+                q = qkv[q0:q0 + qs, hh * hd:(hh + 1) * hd]
+                k = qkv[k0:k0 + ksz, c + hh * hd: c + (hh + 1) * hd]
+                v = qkv[k0:k0 + ksz, 2 * c + hh * hd: 2 * c + (hh + 1) * hd]
                 attn = jax.lax.dot_general(
                     (q * scale).astype(y.dtype), k.astype(y.dtype),
                     (((1,), (1,)), ((), ())),
@@ -480,7 +533,10 @@ def _block_kernel_col(*refs, tp, wp, win, hp, h, w, heads, shift, delta,
                     attn.astype(y.dtype), v.astype(y.dtype),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32))
-            o_rows.append(jnp.concatenate(cols, axis=-1))
+            oc = jnp.concatenate(cols, axis=-1)
+            # a clamped chunk re-computes rows another chunk owns (the
+            # wpair plan's last chunk): emit only the owned tail
+            o_rows.append(oc[lo:] if lo else oc)
         o = jnp.concatenate(o_rows, axis=0).astype(y.dtype)    # (tp, C)
     else:
         cols = []
@@ -532,17 +588,23 @@ def fused_swin_block_col(
     ln2_scale, ln2_bias, w1, b1, w2, b2,
     *, h: int, w: int, hp: int, wp: int, win: int, num_heads: int,
     roll_in: int = 0, shift: int = 0, chunk: int = 128, key_w: int = 384,
-    quantize: bool = False, interpret: bool = False,
+    attn_mode: str = "banded", quantize: bool = False,
+    interpret: bool = False,
 ):
     """One Swin block on col-major bands with banded-chunk attention.
 
     Returns output bands rolled by ``shift`` (chain like the row kernel).
     ``key_w`` is clamped to Tp (full attention) when the band is small.
+    ``attn_mode='wpair'`` replaces the uniform chunk/key_w stride with the
+    window-aligned plan of :func:`_wpair_plan` (~2x fewer key columns and
+    softmax elements per query; falls back to banded when the plan does
+    not exist for this (win, tp)).
     """
     b, nwh, tp, c = x.shape
     assert tp % chunk == 0 and wp * win <= tp, (tp, chunk, wp, win)
+    plan = _wpair_plan(tp, win, shift) if attn_mode == "wpair" else None
     key_w = min(key_w, tp)
-    if key_w < tp:
+    if plan is None and key_w < tp:
         # banded correctness bound: a query's window spans win^2 contiguous
         # tokens, which must fit inside the +-1-chunk key window
         assert key_w >= 3 * chunk and win * win <= chunk + 1, \
@@ -555,7 +617,7 @@ def fused_swin_block_col(
     f32 = jnp.float32
     bias = build_band_bias_col(
         rel_hnn, win=win, wp=wp, shift=shift, tp=tp, chunk=chunk,
-        key_w=key_w, dtype=x.dtype)
+        key_w=key_w, dtype=x.dtype, plan=plan)
     nvar = bias.shape[0]
 
     if nloads == 1:
@@ -569,7 +631,8 @@ def fused_swin_block_col(
             for j in range(2)
         ]
 
-    ndim_tail = (0, 0, 0, 0) if key_w < tp else (0, 0, 0)
+    ndim_tail = (0, 0, 0, 0) if (plan is not None or key_w < tp) \
+        else (0, 0, 0)
     if nvar == 2:
         bias_spec = pl.BlockSpec(
             (1,) + bias.shape[1:],
@@ -614,7 +677,7 @@ def fused_swin_block_col(
     kernel = functools.partial(
         _block_kernel_col, tp=tp, wp=wp, win=win, hp=hp, h=h, w=w,
         heads=num_heads, shift=shift, delta=delta, nloads=nloads,
-        chunk=chunk, key_w=key_w, quant=quantize)
+        chunk=chunk, key_w=key_w, plan=plan, quant=quantize)
     return pl.pallas_call(
         kernel,
         grid=(b, nwh),

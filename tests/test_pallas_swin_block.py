@@ -152,6 +152,99 @@ def test_fused_col_banded_matches_full():
             assert np.abs(got - want).mean() < 1e-2
 
 
+def test_wpair_plan_properties():
+    """The window-aligned plan covers [0, tp) disjointly with 8-aligned
+    static slices, and every owned row's (shifted) window fits the chunk's
+    key range."""
+    from mask_bev_tpu.ops.pallas_swin_block import _wpair_plan
+
+    for win, wp_mult in [(4, 16), (5, 13), (5, 26), (10, 13), (10, 7)]:
+        wp = win * wp_mult
+        tp = ((wp * win + 127) // 128) * 128
+        for shift in (0, win // 2):
+            plan = _wpair_plan(tp, win, shift)
+            if plan is None:
+                continue
+            q_starts, k_starts, own_lo, qs, ks = plan
+            covered = []
+            for q0, k0, lo in zip(q_starts, k_starts, own_lo):
+                assert q0 % 8 == 0 and k0 % 8 == 0 and lo % 8 == 0
+                assert 0 <= k0 <= tp - ks and 0 <= q0 <= tp - qs
+                own = range(q0 + lo, q0 + qs)
+                covered.extend(own)
+                # every owned row's window lies inside the key range
+                for t in (own[0], own[-1]):
+                    if t >= wp * win:
+                        continue  # pad token, bias-masked
+                    j = (t + shift * win) // (win * win)
+                    w_lo = j * win * win - shift * win
+                    w_hi = w_lo + win * win
+                    if w_lo < 0:
+                        w_lo = 0  # wrapped wedge attends only above 0
+                    assert w_lo >= k0 and min(w_hi, wp * win) <= k0 + ks, (
+                        win, wp, shift, t, (w_lo, w_hi), (k0, ks))
+            assert sorted(covered) == list(range(tp))
+
+
+def test_fused_wpair_matches_full_kernel():
+    """Window-aligned chunk attention == full-band attention at the kernel
+    level, covering multi-chunk plans, the clamped last chunk (tp not a
+    multiple of own), roll chaining and shifted windows."""
+    from mask_bev_tpu.ops.pallas_swin_block import (
+        _wpair_plan, from_col_bands, fused_swin_block_col, to_col_bands)
+
+    rng = np.random.default_rng(11)
+    win, heads, c = 5, 2, 32
+    h, w = 13, 63                       # hp=15, wp=65 -> band 325 tokens
+    hp, wp = 15, 65
+    tp = ((wp * win + 127) // 128) * 128   # 384
+    plan = _wpair_plan(tp, win, win // 2)
+    assert plan is not None and len(plan[0]) == 2 and plan[2][-1] > 0
+    b = 2
+
+    def p(*shape):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * .1)
+
+    weights = dict(
+        rel_hnn=p(heads, win * win, win * win),
+        ln1_scale=jnp.ones((c,)), ln1_bias=p(c),
+        wqkv=p(c, 3 * c), bqkv=p(3 * c), wproj=p(c, c), bproj=p(c),
+        ln2_scale=jnp.ones((c,)), ln2_bias=p(c),
+        w1=p(c, 2 * c), b1=p(2 * c), w2=p(2 * c, c), b2=p(c))
+    geom = dict(h=h, w=w, hp=hp, wp=wp, win=win, num_heads=heads)
+
+    xg = p(b, hp, wp, c)
+    xc = to_col_bands(xg, win, tp)
+    for roll_in, shift in [(0, 0), (0, 2), (2, 0), (2, 2)]:
+        full = fused_swin_block_col(
+            xc, **weights, **geom, roll_in=roll_in, shift=shift,
+            key_w=tp, interpret=True)
+        wpair = fused_swin_block_col(
+            xc, **weights, **geom, roll_in=roll_in, shift=shift,
+            attn_mode="wpair", interpret=True)
+        want = np.asarray(from_col_bands(full, win, hp, wp))
+        got = np.asarray(from_col_bands(wpair, win, hp, wp))
+        np.testing.assert_allclose(
+            got, want, rtol=0, atol=3e-2,
+            err_msg=f"wpair roll_in={roll_in} shift={shift}")
+        assert np.abs(got - want).mean() < 1e-2
+
+
+def test_fused_wpair_matches_xla_model():
+    """Whole backbone with band_layout='wpair' == plain XLA path."""
+    x, params, ref = _mk(4, hw=(9, 70), seed=12)
+    want = ref.apply(params, x, train=False)
+    fused = SwinTransformer(
+        embed_dim=32, depths=(2, 2), num_heads=(4, 8), window=4,
+        out_indices=(0, 1),
+        use_pallas=False, use_pallas_block=True, fused_interpret=True,
+        band_layout="wpair", col_min_band=0)
+    got = fused.apply(params, x, train=False)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        _close(g, w)
+
+
 def test_fused_int8_fidelity():
     """int8 dynamic quantization of the dense matmuls: bounded deviation
     from the f32 XLA path (weights ~N(0, 0.02) after init -> per-channel
