@@ -230,8 +230,6 @@ class DecoderLayerGroup(nn.Module):
     hws: Tuple[Tuple[int, int], ...]
     predict_height: bool = False
     final_only: bool = False
-    use_pallas: bool = False        # fused layer kernel (final_only only)
-    pallas_interpret: bool = False
 
     def setup(self):
         c = self.dim
@@ -261,22 +259,6 @@ class DecoderLayerGroup(nn.Module):
 
     def __call__(self, carry, mems, pes, qpos, mask_features, head_params):
         out, mask_l = carry  # mask_l: full-res logits, or mask embedding
-        if self.final_only and self.use_pallas:
-            from mask_bev_tpu.ops.pallas_decoder_layer import (
-                fused_decoder_layer)
-
-            emb = mask_l
-            for lvl in range(len(self.hws)):
-                hl, wl = self.hws[lvl]
-                feat = mask_features[lvl].reshape(
-                    mask_features[lvl].shape[0], hl * wl, -1)
-                out, emb = fused_decoder_layer(
-                    out, emb, qpos, mems[lvl], pes[lvl], feat,
-                    self._lvl_params(lvl), head_params,
-                    num_heads=self.num_heads,
-                    interpret=self.pallas_interpret)
-            return (out, emb), None
-
         ys_cls, ys_mask, ys_h = [], [], []
         for lvl in range(len(self.hws)):
             hl, wl = self.hws[lvl]
@@ -329,8 +311,10 @@ class Mask2FormerDecoder(nn.Module):
     # to the unrolled python loop when num_layers isn't a multiple of the
     # level count (different param tree: layer{i}_* vs layers/lvl{l}_*)
     scan_layers: bool = True
-    # fused per-layer Pallas kernel on the final_only inference path (kills
-    # the ~30 small-op dispatches per layer); A/B-gated like the backbone
+    # whole-stack fused Pallas kernel on the final_only inference path: all
+    # num_layers layers in ONE kernel, queries VMEM-resident throughout
+    # (the XLA head runs ~30 tiny ops per layer and sits ~25x above its
+    # FLOP floor); requires the scan param layout
     use_pallas: bool = False
     pallas_interpret: bool = False
 
@@ -391,6 +375,35 @@ class Mask2FormerDecoder(nn.Module):
 
         if self.scan_layers and self.num_layers % nl == 0:
             groups = self.num_layers // nl
+            fuse_stack = (self.use_pallas and final_only
+                          and not self.is_initializing()
+                          and (self.pallas_interpret
+                               or jax.default_backend() == "tpu"))
+            if fuse_stack:
+                from mask_bev_tpu.ops.pallas_decoder_stack import (
+                    fused_decoder_stack)
+
+                lt = self.variables["params"]["layers"]
+                lvl_trees = [
+                    {"cross": lt[f"lvl{l}_cross"],
+                     "self_": lt[f"lvl{l}_self"],
+                     "norm1": lt[f"lvl{l}_norm1"],
+                     "norm2": lt[f"lvl{l}_norm2"],
+                     "norm3": lt[f"lvl{l}_norm3"],
+                     "ffn": lt[f"lvl{l}_ffn"]}
+                    for l in range(nl)]
+                out_f = fused_decoder_stack(
+                    carry0[0], carry0[1], query_embed,
+                    [m for m in mems], [p[0] for p in pes],
+                    [f.reshape(b, hl * wl, -1)
+                     for f, (hl, wl) in zip(feats_r, hws)],
+                    lvl_trees, heads.param_tree(),
+                    num_heads=self.num_heads, num_groups=groups,
+                    interpret=self.pallas_interpret)
+                cls_f, mask_f, h_f = heads(out_f, mask_features)
+                return DecoderOutputs(
+                    cls_f[None], mask_f[None],
+                    h_f[None] if self.predict_height else None)
             scanned = nn.scan(
                 DecoderLayerGroup,
                 variable_axes={"params": 0},
@@ -400,12 +413,7 @@ class Mask2FormerDecoder(nn.Module):
                 length=groups,
             )(dim=c, num_heads=self.num_heads, ffn_dim=self.ffn_dim,
               hws=tuple(hws), predict_height=self.predict_height,
-              final_only=final_only,
-              use_pallas=(self.use_pallas and final_only
-                          and not self.is_initializing()
-                          and (self.pallas_interpret
-                               or jax.default_backend() == "tpu")),
-              pallas_interpret=self.pallas_interpret, name="layers")
+              final_only=final_only, name="layers")
             (out_f, _), ys = scanned(
                 carry0, tuple(mems), tuple(pes), qpos,
                 feats_r if final_only else mask_features,
