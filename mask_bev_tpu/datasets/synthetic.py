@@ -46,23 +46,50 @@ class SyntheticScene:
 
 def make_scene(rng: np.random.Generator, cfg: MaskBevConfig,
                max_instances: int = 6, noise_points: int = 256,
-               points_per_instance: int = 200) -> SyntheticScene:
+               points_per_instance: int = 200,
+               box_frac: tuple = (0.10, 0.18),
+               max_overlap: float = 1.0) -> SyntheticScene:
+    """``box_frac`` sets the box length range as a fraction of the scene
+    span; ``max_overlap`` < 1 rejection-samples centers so a new box covers
+    at most that fraction of any earlier box (easier, less ambiguous scenes
+    for the accuracy harness's signal-level runs)."""
     h, w = cfg.grid_hw
     g = int(rng.integers(1, max_instances + 1))
     pts, labels, masks, heights = [], [], [], []
     span_x = cfg.x_range[1] - cfg.x_range[0]
     span_y = cfg.y_range[1] - cfg.y_range[0]
+    occupied = np.zeros((h, w), bool)
     for _ in range(g):
-        cx = rng.uniform(cfg.x_range[0] + 0.15 * span_x, cfg.x_range[1] - 0.15 * span_x)
-        cy = rng.uniform(cfg.y_range[0] + 0.15 * span_y, cfg.y_range[1] - 0.15 * span_y)
-        length = rng.uniform(0.1 * span_x, 0.18 * span_x)
+        # RNG call order (cx, cy, length, width, yaw, height) is part of the
+        # seeded-fixture contract — keep it; overlap retries only resample
+        # the center, and only when max_overlap < 1 (opt-in).
+        cx = rng.uniform(cfg.x_range[0] + 0.15 * span_x,
+                         cfg.x_range[1] - 0.15 * span_x)
+        cy = rng.uniform(cfg.y_range[0] + 0.15 * span_y,
+                         cfg.y_range[1] - 0.15 * span_y)
+        length = rng.uniform(box_frac[0] * span_x, box_frac[1] * span_x)
         width = length * rng.uniform(0.4, 0.6)
         yaw = rng.uniform(-np.pi, np.pi)
         height = rng.uniform(1.2, 2.4)
         m = np.zeros((h, w), bool)
         rasterize_rotated_box(m, cx, cy, length, width, yaw, cfg)
+        if max_overlap < 1.0:
+            ok = m.any() and (m & occupied).sum() <= max_overlap * m.sum()
+            for _try in range(8):
+                if ok:
+                    break
+                cx = rng.uniform(cfg.x_range[0] + 0.15 * span_x,
+                                 cfg.x_range[1] - 0.15 * span_x)
+                cy = rng.uniform(cfg.y_range[0] + 0.15 * span_y,
+                                 cfg.y_range[1] - 0.15 * span_y)
+                m[:] = False
+                rasterize_rotated_box(m, cx, cy, length, width, yaw, cfg)
+                ok = m.any() and (m & occupied).sum() <= max_overlap * m.sum()
+            if not ok:
+                continue
         if m.sum() < 4:
             continue
+        occupied |= m
         # surface-ish points on the box
         t = rng.uniform(-0.5, 0.5, (points_per_instance, 2))
         local = t * np.array([length, width])

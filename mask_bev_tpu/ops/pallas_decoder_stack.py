@@ -76,8 +76,8 @@ def _stack_kernel(*refs, heads: int, nl: int, groups: int, dtype):
     pe_refs = refs[3 + nl:3 + 2 * nl]
     feat_refs = refs[3 + 2 * nl:3 + 3 * nl]
     (wq, bq, wk, bk, wv, bv, wo, bo,
-     sqkv, sbqkv, so, sbo, norms, f1, fb1, f2, fb2,
-     dn, m1, mb1, m2, mb2, m3, mb3) = refs[3 + 3 * nl:-3]
+     sqkv, sbqkv, so, sbo, n1s, n1b, n2s, n2b, n3s, n3b, f1, fb1, f2, fb2,
+     dns, dnb, m1, mb1, m2, mb2, m3, mb3) = refs[3 + 3 * nl:-3]
     out_ref, cx, ce = refs[-3], refs[-2], refs[-1]
 
     g = pl.program_id(1)
@@ -107,13 +107,15 @@ def _stack_kernel(*refs, heads: int, nl: int, groups: int, dtype):
         all_blocked = jnp.all(blocked, axis=-1, keepdims=True)
         bias = jnp.where(blocked & ~all_blocked, _NEG, 0.0)
 
-        nrm = norms[li]                    # (3, 2, C) f32
+        # LN params ride as separate (L, 1, C) operands: a packed (L, 3, 2, C)
+        # collapses its minor dims into lanes, and Mosaic cannot broadcast a
+        # (1, C) row whose lane offset is >= the tile width (smoke failure).
         q = _dot((x32 + qpos).astype(dtype), wq[li].astype(dtype), bq[li])
         k = _dot(mem + pe.astype(dtype), wk[li].astype(dtype), bk[li])
         v = _dot(mem, wv[li].astype(dtype), bv[li])
         y = _attend(q, k, v, wo[li].astype(dtype), bo[li],
                     heads=heads, bias=bias, dtype=dtype)
-        x32 = _ln(x32 + y, nrm[0, 0:1], nrm[0, 1:2])
+        x32 = _ln(x32 + y, n1s[li], n1b[li])
 
         xq = (x32 + qpos).astype(dtype)
         sw = sqkv[li].astype(dtype)
@@ -124,17 +126,17 @@ def _stack_kernel(*refs, heads: int, nl: int, groups: int, dtype):
                     _dot(x32.astype(dtype), sw[:, 2 * c:], sb[:, 2 * c:]),
                     so[li].astype(dtype), sbo[li],
                     heads=heads, bias=None, dtype=dtype)
-        x32 = _ln(x32 + y, nrm[1, 0:1], nrm[1, 1:2])
+        x32 = _ln(x32 + y, n2s[li], n2b[li])
 
         y = _dot(jnp.maximum(
             _dot(x32.astype(dtype), f1[li].astype(dtype), fb1[li]),
             0.0).astype(dtype), f2[li].astype(dtype), fb2[li])
-        x32 = _ln(x32 + y, nrm[2, 0:1], nrm[2, 1:2])
+        x32 = _ln(x32 + y, n3s[li], n3b[li])
 
         # next mask embedding (shared heads' decoder-norm + mask MLP);
         # rounded to the model dtype like the XLA path's bf16 embedding so
         # borderline m < 0 threshold cells agree
-        z = _ln(x32, dn[0:1], dn[1:2]).astype(dtype)
+        z = _ln(x32, dns[...], dnb[...]).astype(dtype)
         z = jnp.maximum(_dot(z, m1[...], mb1[...]), 0.0).astype(dtype)
         z = jnp.maximum(_dot(z, m2[...], mb2[...]), 0.0).astype(dtype)
         emb = _dot(z, m3[...], mb3[...]).astype(dtype).astype(f32)
@@ -180,14 +182,14 @@ def stack_layer_params(lvl_trees: Sequence[Dict], dtype):
     so, sbo = dw(("self_", "out"))
     sqkv = jnp.concatenate([sq, sk, sv], axis=-1)
     sbqkv = jnp.concatenate([sbq, sbk, sbv], axis=-1)
-    norms = jnp.stack(
-        [jnp.stack([pack((f"norm{i}", "scale")),
-                    pack((f"norm{i}", "bias"))], axis=1)
-         for i in (1, 2, 3)], axis=1).astype(jnp.float32)  # (L, 3, 2, C)
+    # each LN param as its own (L, 1, C) f32 operand (Mosaic layout rule:
+    # see _stack_kernel comment)
+    norms = [pack((f"norm{i}", nm))[:, None].astype(jnp.float32)
+             for i in (1, 2, 3) for nm in ("scale", "bias")]
     f1, fb1 = dw(("ffn", "fc1"))
     f2, fb2 = dw(("ffn", "fc2"))
     return [wq, bq, wk, bk, wv, bv, wo, bo,
-            sqkv, sbqkv, so, sbo, norms, f1, fb1, f2, fb2]
+            sqkv, sbqkv, so, sbo, *norms, f1, fb1, f2, fb2]
 
 
 def fused_decoder_stack(out0, emb0, qpos, mems, pes, feats,
@@ -210,8 +212,8 @@ def fused_decoder_stack(out0, emb0, qpos, mems, pes, feats,
 
     weights = stack_layer_params(lvl_trees, dtype)
     hp = head_params
-    weights += [jnp.stack([hp["decoder_norm"]["scale"],
-                           hp["decoder_norm"]["bias"]]).astype(f32)]
+    weights += [hp["decoder_norm"]["scale"][None].astype(f32),
+                hp["decoder_norm"]["bias"][None].astype(f32)]
     for nm in ("mask_mlp1", "mask_mlp2", "mask_mlp3"):
         weights += [hp[nm]["kernel"].astype(dtype),
                     hp[nm]["bias"][None].astype(f32)]

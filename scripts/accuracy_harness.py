@@ -56,14 +56,14 @@ def harness_config():
         use_pallas_backbone=False, batch_size=4)
 
 
-def make_fixture_batches(cfg, n_batches, batch_size, seed0):
+def make_fixture_batches(cfg, n_batches, batch_size, seed0, scene_kw=None):
     """Identical fixtures for both sides, SemanticKITTI GT convention."""
     from mask_bev_tpu.datasets.synthetic import make_batch
 
     batches = []
     for s in range(n_batches):
         b = make_batch(np.random.default_rng(seed0 + s), cfg,
-                       batch_size=batch_size)
+                       batch_size=batch_size, **(scene_kw or {}))
         real = b["gt_valid"]
         b["gt_labels"] = np.where(real, b["gt_labels"] + 1, 0).astype(np.int32)
         b["gt_valid"] = np.ones_like(b["gt_valid"])  # all Q rows matched
@@ -265,6 +265,17 @@ def run_flax(cfg, batches, steps, eval_every, val_batches, seed=0,
     return out
 
 
+def _agg(finals):
+    """mean/min/max/spread over per-seed final metric dicts."""
+    keys = ("map", "map_50", "miou")
+    return {k: {"mean": round(float(np.mean([f[k] for f in finals])), 4),
+                "min": round(float(min(f[k] for f in finals)), 4),
+                "max": round(float(max(f[k] for f in finals)), 4),
+                "spread": round(float(max(f[k] for f in finals)
+                                      - min(f[k] for f in finals)), 4)}
+            for k in keys}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=400)
@@ -274,6 +285,24 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--side", choices=("both", "torch", "flax"),
                     default="both")
+    ap.add_argument("--seeds", type=str, default="0",
+                    help="comma list; each seed trains BOTH sides (init + "
+                         "train rng); report mean/spread over seeds")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override both sides' lr (default: config lr)")
+    ap.add_argument("--torch-lr", type=float, default=None)
+    ap.add_argument("--flax-lr", type=float, default=None)
+    # scene difficulty (VERDICT r4 #4: scale until torch map_50 >= 0.3 so
+    # deltas are read off curves that have left the noise floor)
+    ap.add_argument("--max-instances", type=int, default=6)
+    ap.add_argument("--ppi", type=int, default=200,
+                    help="points per instance")
+    ap.add_argument("--noise-points", type=int, default=256)
+    ap.add_argument("--box-frac", type=str, default="0.10,0.18",
+                    help="box length range as fraction of scene span")
+    ap.add_argument("--max-overlap", type=float, default=1.0,
+                    help="<1: rejection-sample box centers so a new box "
+                         "covers at most this fraction of earlier boxes")
     ap.add_argument("--out", type=str, default=None,
                     help="directory for accuracy_parity.json")
     ap.add_argument("--eval_int8", action="store_true",
@@ -283,38 +312,69 @@ def main():
     args = ap.parse_args()
 
     cfg = harness_config().replace(batch_size=args.batch)
-    train = make_fixture_batches(cfg, args.train_batches, args.batch, 1000)
-    val = make_fixture_batches(cfg, args.val_batches, args.batch, 9000)
+    if args.lr is not None:
+        cfg = cfg.replace(lr=args.lr)
+    torch_lr = args.torch_lr or cfg.lr
+    flax_cfg = cfg.replace(lr=args.flax_lr or cfg.lr)
+    lo, hi = (float(x) for x in args.box_frac.split(","))
+    scene_kw = dict(max_instances=args.max_instances,
+                    points_per_instance=args.ppi,
+                    noise_points=args.noise_points,
+                    box_frac=(lo, hi), max_overlap=args.max_overlap)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    train = make_fixture_batches(cfg, args.train_batches, args.batch, 1000,
+                                 scene_kw)
+    val = make_fixture_batches(cfg, args.val_batches, args.batch, 9000,
+                               scene_kw)
 
     results = {"config": {"steps": args.steps, "batch": args.batch,
-                          "lr": cfg.lr, "train_batches": args.train_batches,
-                          "val_scenes": args.val_batches * args.batch}}
-    if args.side in ("both", "torch"):
-        vox_train = pillarize_for_torch(train, cfg)
-        vox_val = pillarize_for_torch(val, cfg)
-        results["torch"] = run_torch(
-            cfg, train, vox_train, args.steps, args.eval_every, val,
-            vox_val, cfg.lr)
-    if args.side in ("both", "flax"):
-        results["flax"] = run_flax(
-            cfg, train, args.steps, args.eval_every, val,
-            eval_int8=args.eval_int8)
+                          "torch_lr": torch_lr, "flax_lr": flax_cfg.lr,
+                          "train_batches": args.train_batches,
+                          "val_scenes": args.val_batches * args.batch,
+                          "seeds": seeds, "scene": scene_kw}}
+    vox_train = vox_val = None
+    for seed in seeds:
+        tag = f"seed{seed}"
+        if args.side in ("both", "torch"):
+            if vox_train is None:
+                vox_train = pillarize_for_torch(train, cfg)
+                vox_val = pillarize_for_torch(val, cfg)
+            print(f"=== torch {tag} ===", flush=True)
+            results.setdefault("torch", {})[tag] = run_torch(
+                cfg, train, vox_train, args.steps, args.eval_every, val,
+                vox_val, torch_lr, seed=seed)
+        if args.side in ("both", "flax"):
+            print(f"=== flax {tag} ===", flush=True)
+            results.setdefault("flax", {})[tag] = run_flax(
+                flax_cfg, train, args.steps, args.eval_every, val,
+                seed=seed, eval_int8=args.eval_int8)
 
-    if args.side == "both":
-        ft = results["torch"]["metric_curve"][args.steps]
-        ff = results["flax"]["metric_curve"][args.steps]
-        results["final_delta"] = {
-            k: round(ff[k] - ft[k], 4) for k in ("map", "map_50", "miou")}
-        print("final torch:", {k: round(ft[k], 4) for k in
-                               ("map", "map_50", "miou")})
-        print("final flax :", {k: round(ff[k], 4) for k in
-                               ("map", "map_50", "miou")})
-        print("delta (flax - torch):", results["final_delta"])
+    def finals(side):
+        return [results[side][f"seed{s}"]["metric_curve"][args.steps]
+                for s in seeds]
+
+    if args.side in ("both", "torch"):
+        results["torch_final"] = _agg(finals("torch"))
+        print("torch final:", results["torch_final"])
+    if args.side in ("both", "flax"):
+        results["flax_final"] = _agg(finals("flax"))
+        print("flax final :", results["flax_final"])
         if args.eval_int8:
-            fi = results["flax"]["metric_int8"]
+            results["int8_final"] = _agg(
+                [results["flax"][f"seed{s}"]["metric_int8"] for s in seeds])
+            print("int8 final :", results["int8_final"])
+    if args.side == "both":
+        results["final_delta"] = {
+            k: round(results["flax_final"][k]["mean"]
+                     - results["torch_final"][k]["mean"], 4)
+            for k in ("map", "map_50", "miou")}
+        print("delta of means (flax - torch):", results["final_delta"])
+        if args.eval_int8:
             results["int8_delta"] = {
-                k: round(fi[k] - ff[k], 4) for k in ("map", "map_50", "miou")}
-            print("delta (int8 - f32 flax):", results["int8_delta"])
+                k: round(results["int8_final"][k]["mean"]
+                         - results["flax_final"][k]["mean"], 4)
+                for k in ("map", "map_50", "miou")}
+            print("delta of means (int8 - f32 flax):", results["int8_delta"])
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)

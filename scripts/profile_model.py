@@ -29,7 +29,7 @@ def main():
                     help="override backbone_window_size (perf experiments)")
     ap.add_argument("--no-pallas", action="store_true")
     ap.add_argument("--band-layout", type=str, default=None,
-                    choices=("row", "col"),
+                    choices=("row", "col", "wpair"),
                     help="override backbone_band_layout (A/B the banded "
                          "col-major attention)")
     ap.add_argument("--pallas-head", action="store_true",

@@ -36,11 +36,12 @@ def main():
     combos = [
         ("row", dict()),
         ("col", dict(backbone_band_layout="col")),
+        ("wpair", dict(backbone_band_layout="wpair")),
         ("head", dict(use_pallas_head=True)),
         ("int8", dict(backbone_quantize="int8")),
-        ("col+int8+head", dict(backbone_band_layout="col",
-                               backbone_quantize="int8",
-                               use_pallas_head=True)),
+        ("wpair+int8+head", dict(backbone_band_layout="wpair",
+                                 backbone_quantize="int8",
+                                 use_pallas_head=True)),
     ]
     for name, over in combos:
         cfg = base.replace(**over)
