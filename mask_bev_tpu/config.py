@@ -139,11 +139,17 @@ class MaskBevConfig:
     # whole-Swin-block fused kernel (LN1 -> windowed MSA -> LN2 -> MLP, one
     # HBM round-trip per block) used on TPU inference
     use_pallas_backbone: bool = True
-    # 'col': col-major band layout + banded-chunk attention in the fused
-    # backbone kernels for large unscanned stages (A/B against 'row' on TPU)
-    backbone_band_layout: str = "row"
-    # fused decoder-layer kernel on the final_only inference path (A/B-gated)
-    use_pallas_head: bool = False
+    # band layout of the fused backbone kernels for large unscanned stages:
+    # 'wpair' (default) = col-major bands + window-aligned chunk attention
+    # (~8x fewer attention FLOPs than 'row' at stage-0 flagship geometry;
+    # backbone 26.0 -> 23.5 ms/b8 in the r5 A/B, falls back to 'col'-style
+    # banded chunks when the window plan does not exist for a stage);
+    # 'col' = uniform banded chunks; 'row' = row-major full-band attention
+    backbone_band_layout: str = "wpair"
+    # whole-stack fused decoder kernel on the final_only inference path
+    # (all layers in one pallas_call, queries carried in VMEM scratch;
+    # won its r5 A/B 6.46 vs 6.67 ms/b8)
+    use_pallas_head: bool = True
     # 'int8': dynamic int8 quantization of the fused backbone's dense
     # matmuls (2x MXU throughput on v5e; fidelity bounds in ARCHITECTURE.md)
     backbone_quantize: str = "none"
@@ -222,12 +228,12 @@ def semantic_kitti_default() -> MaskBevConfig:
         name="semantic_kitti_default", dataset="semantic_kitti",
         x_range=(-40, 40), y_range=(-40, 40), z_range=(-20, 20),
         voxel_size=0.16, num_queries=45, head_num_classes=1,
-        # int8 eval backbone stays OPT-IN: the round-4 end-metric
-        # validation (measurements/r4/accuracy_parity.json) sat at the
-        # mAP noise floor, too weak to flip the flagship's eval numerics
-        # away from the f32 reference by default. Set
-        # backbone_quantize='int8' explicitly for the ~13% backbone
-        # speedup once parity is shown at signal level.
+        # int8 eval backbone ON: validated at SIGNAL level in round 5 —
+        # 3-seed harness with torch at map_50 0.507+-0.14, int8-vs-f32
+        # delta of means {map +0.0002, map_50 +0.0003, miou -0.0006},
+        # two orders below the seed spread (~0.1); kernel-level fidelity
+        # ~1.3% max rel (tests). measurements/r5/accuracy_parity.json.
+        backbone_quantize="int8",
     )
 
 

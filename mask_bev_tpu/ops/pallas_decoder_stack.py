@@ -76,7 +76,8 @@ def _stack_kernel(*refs, heads: int, nl: int, groups: int, dtype):
     pe_refs = refs[3 + nl:3 + 2 * nl]
     feat_refs = refs[3 + 2 * nl:3 + 3 * nl]
     (wq, bq, wk, bk, wv, bv, wo, bo,
-     sqkv, sbqkv, so, sbo, n1s, n1b, n2s, n2b, n3s, n3b, f1, fb1, f2, fb2,
+     sqkv, sbqkv, sbv, so, sbo, n1s, n1b, n2s, n2b, n3s, n3b,
+     f1, fb1, f2, fb2,
      dns, dnb, m1, mb1, m2, mb2, m3, mb3) = refs[3 + 3 * nl:-3]
     out_ref, cx, ce = refs[-3], refs[-2], refs[-1]
 
@@ -122,8 +123,10 @@ def _stack_kernel(*refs, heads: int, nl: int, groups: int, dtype):
         sb = sbqkv[li]
         qkv = _dot(xq, sw, sb)             # (Q, 3C) f32
         c = x32.shape[-1]
+        # the v bias rides as its OWN (L, 1, C) operand: sb[:, 2c:] is a
+        # (1, C) row at lane offset 2C, which Mosaic cannot broadcast
         y = _attend(qkv[:, :c], qkv[:, c:2 * c],
-                    _dot(x32.astype(dtype), sw[:, 2 * c:], sb[:, 2 * c:]),
+                    _dot(x32.astype(dtype), sw[:, 2 * c:], sbv[li]),
                     so[li].astype(dtype), sbo[li],
                     heads=heads, bias=None, dtype=dtype)
         x32 = _ln(x32 + y, n2s[li], n2b[li])
@@ -182,6 +185,8 @@ def stack_layer_params(lvl_trees: Sequence[Dict], dtype):
     so, sbo = dw(("self_", "out"))
     sqkv = jnp.concatenate([sq, sk, sv], axis=-1)
     sbqkv = jnp.concatenate([sbq, sbk, sbv], axis=-1)
+    # sbv additionally ships alone for the un-positioned v re-projection
+    # (see _stack_kernel: a (1, C) slice at lane offset 2C cannot broadcast)
     # each LN param as its own (L, 1, C) f32 operand (Mosaic layout rule:
     # see _stack_kernel comment)
     norms = [pack((f"norm{i}", nm))[:, None].astype(jnp.float32)
@@ -189,7 +194,7 @@ def stack_layer_params(lvl_trees: Sequence[Dict], dtype):
     f1, fb1 = dw(("ffn", "fc1"))
     f2, fb2 = dw(("ffn", "fc2"))
     return [wq, bq, wk, bk, wv, bv, wo, bo,
-            sqkv, sbqkv, so, sbo, *norms, f1, fb1, f2, fb2]
+            sqkv, sbqkv, sbv, so, sbo, *norms, f1, fb1, f2, fb2]
 
 
 def fused_decoder_stack(out0, emb0, qpos, mems, pes, feats,

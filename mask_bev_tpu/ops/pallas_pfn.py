@@ -371,7 +371,7 @@ def fused_stream_pfn_slots(
     weights: List[Tuple[jax.Array, jax.Array, jax.Array]],
     *, point_dim: int, with_distance: bool, k: int, grid_w: int,
     grid_h: int, voxel_size: float, x0: float, y0: float,
-    tile: int = 4096, block_l: int = 512, canvas_pad: int = 0,
+    tile: int = 4096, canvas_pad: int = 0,
     pre_padded: bool = False, interpret: bool = False,
 ):
     """Sorted column streams -> (feats (B,N,C) bf16, cells (B,N) f32,
@@ -391,8 +391,7 @@ def fused_stream_pfn_slots(
     cols = list(cols)
     assert len(cols) == 5, len(cols)
     bsz, n = cols[0].shape
-    block_l = min(block_l, tile)
-    assert tile % block_l == 0 and block_l % 128 == 0, (tile, block_l)
+    assert tile % 128 == 0, tile
     if pre_padded:
         # the producer already wrote the sentinel tail (zero features,
         # sentinel pid) as part of the pack — see slots_pad_len
@@ -406,36 +405,41 @@ def fused_stream_pfn_slots(
             cols = [jnp.pad(c, [(0, 0), (0, n_pad - n)]) for c in cols]
     # kept at lane L needs a K-lane lookback, and the decorations reach K-1
     # lanes back from the first central lane, so the halo must cover 2K-1
-    # lanes; it is rounded up to the load-block width (index maps move in
-    # block_l units)
-    halo = ((max(2 * k - 1, 1) + block_l - 1) // block_l) * block_l
+    # lanes. Mixed block sizes keep it TIGHT: each column loads its tile as
+    # ONE (1, 1, tile) block plus hb 128-lane blocks per side — at the
+    # flagship K=32 that is span = tile + 256 instead of the former
+    # block_l-rounded tile + 1024 (25% of every windowed VPU op was halo
+    # re-compute), and 3 DMAs/column instead of 10.
+    hb = (max(2 * k - 1, 1) + 127) // 128
+    halo = hb * 128
     n_layers = len(weights)
     c_out = weights[-1][0].shape[1]
     assert c_out <= tile, (c_out, tile)
-    span = tile + 2 * halo
-    nloads = span // block_l
-    tile_blocks = tile // block_l
-    halo_blocks = halo // block_l
-    nblk = n_pad // block_l
+    nloads = 2 * hb + 1
+    t128 = tile // 128
+    nblk128 = n_pad // 128
 
     f32 = jnp.float32
-    # each of the 5 columns streams in as nloads (1, 1, block_l)
-    # lane-contiguous blocks — ordering matches the kernel's
-    # x_refs[c * nloads + j]. block_l trades DMA count against halo
-    # overlap: 512 lanes = 2 KB per DMA (50 x 512 B at 128 was
-    # issue-overhead-bound). The (B, 1, N) view keeps Mosaic's
-    # sublane-divisibility rule happy (a (1, 128) block on a (B, N)
-    # array has an illegal 1-sublane block).
+    # the (B, 1, N) view keeps Mosaic's sublane-divisibility rule happy (a
+    # (1, 128) block on a (B, N) array has an illegal 1-sublane block);
+    # clamped edge loads re-read interior lanes, masked by gpos in-kernel
     cols = [c.reshape(bsz, 1, n_pad) for c in cols]
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, block_l),
-            lambda b, i, j=j: (
-                b, 0,
-                jnp.clip(i * tile_blocks + j - halo_blocks, 0, nblk - 1)),
-            memory_space=pltpu.VMEM)
-        for _c in range(5) for j in range(nloads)
-    ]
+    in_specs = []
+    for _c in range(5):
+        for j in range(hb):       # left halo, 128-lane units
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 128),
+                lambda b, i, j=j: (
+                    b, 0, jnp.clip(i * t128 - hb + j, 0, nblk128 - 1)),
+                memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(  # central tile, one DMA
+            (1, 1, tile), lambda b, i: (b, 0, i), memory_space=pltpu.VMEM))
+        for j in range(hb):       # right halo
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 128),
+                lambda b, i, j=j: (
+                    b, 0, jnp.clip((i + 1) * t128 + j, 0, nblk128 - 1)),
+                memory_space=pltpu.VMEM))
     w_args = []
     for (w, g, bias) in weights:
         # native dtype (see fused_stream_pfn): bf16 weights -> bf16 MXU
