@@ -92,6 +92,81 @@ def hungarian(cost: jax.Array) -> jax.Array:
     return col_of_row
 
 
+def hungarian_rows(cost: jax.Array, n_rows: jax.Array) -> jax.Array:
+    """Assign the first ``n_rows`` rows of a rectangular (R, C) cost, R <= C.
+
+    Same shortest-augmenting-path core as :func:`hungarian`, but the outer
+    loop is a ``while_loop`` over a DYNAMIC row count: matching G valid GT
+    instances against Q queries only pays G sequential augmentations instead
+    of the square form's Q (the train-step's matcher ran 45 augmentations
+    per problem for typically <= 10 real instances). Under ``vmap`` the
+    lockstep trip count is ``max(n_rows)`` across the batch.
+
+    Returns:
+      row_of_col: (C,) int32 — assigned row per column, -1 for free columns.
+    """
+    r, ncol = cost.shape
+    c = jnp.pad(cost.astype(jnp.float32), ((1, 0), (1, 0)))
+    u0 = jnp.zeros((r + 1,), jnp.float32)
+    v0 = jnp.zeros((ncol + 1,), jnp.float32)
+    p0 = jnp.zeros((ncol + 1,), jnp.int32)
+
+    def assign_row(i, u, v, p):
+        p = p.at[0].set(i + 1)
+        minv = jnp.full((ncol + 1,), _INF)
+        used = jnp.zeros((ncol + 1,), bool)
+        way = jnp.zeros((ncol + 1,), jnp.int32)
+
+        def cond(s):
+            _, _, _, _, _, j0, p_ = s
+            return p_[j0] != 0
+
+        def body(s):
+            u, v, minv, used, way, j0, p_ = s
+            used = used.at[j0].set(True)
+            i0 = p_[j0]
+            cur = c[i0] - u[i0] - v
+            better = (cur < minv) & (~used)
+            minv = jnp.where(better, cur, minv)
+            way = jnp.where(better, j0, way)
+            masked = jnp.where(used, _INF, minv)
+            j1 = jnp.argmin(masked).astype(jnp.int32)
+            delta = masked[j1]
+            u = u.at[p_].add(jnp.where(used, delta, 0.0), mode="drop")
+            v = jnp.where(used, v - delta, v)
+            minv = jnp.where(used, minv, minv - delta)
+            return u, v, minv, used, way, j1, p_
+
+        u, v, minv, used, way, j0, p = jax.lax.while_loop(
+            cond, body, (u, v, minv, used, way, jnp.int32(0), p))
+
+        def aug_cond(s):
+            j0, _ = s
+            return j0 != 0
+
+        def aug_body(s):
+            j0, p_ = s
+            j1 = way[j0]
+            p_ = p_.at[j0].set(p_[j1])
+            return j1, p_
+
+        _, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+        return u, v, p
+
+    def outer_cond(s):
+        i = s[0]
+        return i < n_rows
+
+    def outer_body(s):
+        i, u, v, p = s
+        u, v, p = assign_row(i, u, v, p)
+        return i + 1, u, v, p
+
+    _, _, _, p = jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), u0, v0, p0))
+    return p[1:] - 1
+
+
 def pad_cost(cost: jax.Array, num_valid_cols: jax.Array,
              pad_value: float = 1e6) -> jax.Array:
     """Mask padded GT columns of a (Q, G) cost with a large constant.
@@ -115,10 +190,11 @@ def match(cost: jax.Array, num_valid_cols: jax.Array):
         assigned to padded columns;
       query_is_matched: (Q,) bool.
     """
-    q, g = cost.shape
-    c = pad_cost(cost, num_valid_cols)
-    if g < q:
-        c = jnp.pad(c, ((0, 0), (0, q - g)), constant_values=1e6)
-    col = hungarian(c)
-    matched = col < num_valid_cols
-    return jnp.where(matched, col, -1).astype(jnp.int32), matched
+    # transposed rectangular solve: rows = the num_valid_cols REAL GT
+    # instances (dynamic), columns = queries — only G augmenting paths run,
+    # not Q, and no dummy-column padding is needed. The restriction of the
+    # padded square optimum to real columns equals this rectangular optimum
+    # (dummy columns are interchangeable), so the matching is unchanged.
+    gt_of_query = hungarian_rows(cost.T, num_valid_cols)
+    matched = gt_of_query >= 0
+    return gt_of_query.astype(jnp.int32), matched

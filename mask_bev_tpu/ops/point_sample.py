@@ -174,9 +174,17 @@ def uncertain_point_coords(
             mask_logits, coords, mm_dtype=mm_dtype, chunk=chunk)
     else:
         logits = jax.vmap(point_sample)(mask_logits, coords)  # (M, n_sampled)
-    uncertainty = -jnp.abs(logits)
-    _, idx = jax.lax.top_k(uncertainty, n_uncertain)
-    picked = jnp.take_along_axis(coords, idx[..., None], axis=1)
+    # top-k by |logit| closeness to 0, carrying the coords THROUGH the sort:
+    # top_k + take_along_axis costs a (M*n_uncertain, 2) row gather (~10
+    # ns/row on TPU — it was the single largest op of the train step, 127
+    # ms/step at flagship scale); a multi-operand sort permutes the coord
+    # columns in the same pass, so the selection becomes a free slice. The
+    # selected SET equals top_k's (ties broken by index either way), and the
+    # point losses reduce over the point axis, so order is immaterial.
+    _, cx, cy = jax.lax.sort(
+        [jnp.abs(logits), coords[..., 0], coords[..., 1]],
+        dimension=-1, num_keys=1, is_stable=True)
+    picked = jnp.stack([cx[:, :n_uncertain], cy[:, :n_uncertain]], axis=-1)
     if n_random > 0:
         rand = jax.random.uniform(k2, (m, n_random, 2))
         picked = jnp.concatenate([picked, rand], axis=1)
