@@ -153,6 +153,17 @@ class MaskBevConfig:
     # 'int8': dynamic int8 quantization of the fused backbone's dense
     # matmuls (2x MXU throughput on v5e; fidelity bounds in ARCHITECTURE.md)
     backbone_quantize: str = "none"
+    # fused canvas -> patch-embed -> LayerNorm kernel on the TPU eval path
+    # (ops/pallas_patch_embed): consumes the canvas kernel's batch-minor
+    # flat output natively, skipping the conv custom-call's 0.5 GB/b8
+    # layout copy (~1.6 ms) and the separate patch_norm passes (~1 ms)
+    fuse_patch_embed: bool = False
+    # fused-eval unroll of nn.scan-ned deep stages (stage 2): chain the
+    # fused block kernels directly over the stacked params instead of the
+    # lax.while step. Bitwise-same output; measured NEUTRAL on v5e (20.82
+    # vs 20.85 ms/b8 backbone, r5 session-2 A/B) — the scan step overhead
+    # is negligible at eval — so the smaller-compile scan form stays default
+    backbone_unroll_eval: bool = False
     # rematerialize backbone blocks in training (recompute instead of
     # storing activations; bigger global batches fit HBM)
     remat_backbone: bool = False

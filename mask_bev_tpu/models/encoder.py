@@ -319,11 +319,14 @@ class PseudoImageNorm(nn.Module):
     eps: float = 1e-3
 
     @nn.compact
-    def __call__(self, x=None, stats=None, fused=None, pre_padded=False):
+    def __call__(self, x=None, stats=None, fused=None, pre_padded=False,
+                 flat_output=False):
         """x: (B, H, W, C) canvas — or ``fused=(table, cells, valid,
         grid_hw)`` (eval fast path): the scatter AND the norm run in one
         Pallas kernel, writing the normalized canvas directly (saves a full
-        canvas HBM round trip; requires ``stats``)."""
+        canvas HBM round trip; requires ``stats``). ``flat_output`` (fused
+        path only): return the batch-minor flat (H*W, B*C) canvas for the
+        fused patch-embed consumer."""
         if fused is not None:
             table, cells, valid, grid_hw = fused
             h, w = grid_hw
@@ -343,7 +346,7 @@ class PseudoImageNorm(nn.Module):
             return canvas_from_table(
                 table, cells, valid, grid_hw, norm_stats=stats,
                 norm_affine=(scale, bias), norm_eps=self.eps,
-                pre_padded=pre_padded)
+                pre_padded=pre_padded, flat_output=flat_output)
 
         if stats is None:
             xf = x.astype(jnp.float32)  # stats in f32 even under bf16
@@ -389,9 +392,26 @@ class MaskBevEncoder(nn.Module):
         w = int(round((self.x_range[1] - self.x_range[0]) / self.voxel_size))
         return (h, w)
 
+    def uses_slot_path(self, train: bool) -> bool:
+        """True iff __call__ will take the slot-form fused eval path (the
+        same condition set, computable without building the submodules —
+        used by MaskBev to decide the flat-canvas fused patch-embed)."""
+        from mask_bev_tpu.ops.pallas_canvas import pick_rows_per_block
+
+        h, w = self.grid_hw
+        return (self.use_pallas and not train
+                and self.encoding_type == "vanilla"
+                and self.point_dim <= 4
+                and jax.default_backend() == "tpu"
+                and self.feat_channels[-1] % 128 == 0
+                and bool(pick_rows_per_block(h, w)))
+
     @nn.compact
-    def __call__(self, points, point_mask, train: bool = True):
-        """points (B, N, D) + mask -> pseudo-image (B, H, W, C) [NHWC]."""
+    def __call__(self, points, point_mask, train: bool = True,
+                 flat: bool = False):
+        """points (B, N, D) + mask -> pseudo-image (B, H, W, C) [NHWC] —
+        or, with ``flat=True`` on the slot fused path, the batch-minor
+        flat (H*W, B*C) canvas (for ``ops/pallas_patch_embed``)."""
         pfn = PillarFeatureNet(
             feat_channels=self.feat_channels,
             x_range=self.x_range,
@@ -434,8 +454,10 @@ class MaskBevEncoder(nn.Module):
             norm = PseudoImageNorm(mode=self.pseudo_image_norm, name="norm")
             return norm(stats=(mean, var),
                         fused=(feats, cells.astype(jnp.int32), None,
-                               self.grid_hw), pre_padded=True)
+                               self.grid_hw), pre_padded=True,
+                        flat_output=flat)
 
+        assert not flat, "flat canvas output requires the slot fused path"
         sp = pillarize_stream_batch(
             points,
             point_mask,

@@ -63,6 +63,7 @@ class MaskBev(nn.Module):
             band_layout=c.backbone_band_layout,
             quantize_int8=(c.backbone_quantize == "int8"),
             remat=c.remat_backbone,
+            unroll_eval=c.backbone_unroll_eval,
         )
         self.pixel_decoder = PixelDecoder(
             feat_channels=c.head_feat_channels,
@@ -82,14 +83,35 @@ class MaskBev(nn.Module):
             use_pallas=c.use_pallas_head,
         )
 
+    def _flat_embed_ok(self, train: bool) -> bool:
+        """Fused canvas->patch-embed->LN path (ops/pallas_patch_embed):
+        needs the encoder's slot fused path (batch-minor flat canvas), a
+        stride==patch no-padding patch embed, and no abs pos embed."""
+        c = self.cfg
+        h, w = self.encoder.grid_hw
+        p = c.backbone_patch_size
+        return (c.fuse_patch_embed and not train
+                and not self.is_initializing()
+                and self.encoder.uses_slot_path(train)
+                and not c.backbone_use_abs_emb
+                and tuple(c.backbone_strides)[0] == p
+                and h % p == 0 and w % p == 0)
+
     def __call__(self, points, point_mask, train: bool = True,
                  final_only: bool = False) -> DecoderOutputs:
         """``final_only=True`` (inference): only the final head pass is
         returned (leading axis 1, so ``[-1]`` indexing still works) and the
         intermediate layers skip their full-resolution mask logits — exact
         by linearity of the bilinear resize (see Mask2FormerDecoder)."""
-        x = self.encoder(points, point_mask, train=train)
-        feats = self.backbone(x, train=train)
+        if self._flat_embed_ok(train):
+            h, w = self.encoder.grid_hw
+            flat = self.encoder(points, point_mask, train=train, flat=True)
+            feats = self.backbone(
+                None, train=train,
+                canvas_flat=(flat, (h, w, points.shape[0])))
+        else:
+            x = self.encoder(points, point_mask, train=train)
+            feats = self.backbone(x, train=train)
         mask_features, memories = self.pixel_decoder(feats, train=train)
         return self.decoder(mask_features, memories, train=train,
                             final_only=final_only)

@@ -487,24 +487,50 @@ class SwinTransformer(nn.Module):
     # nn.scan deep stages' (unshifted, shifted) block pairs: one compiled
     # pair body instead of `depth` traced blocks (stacked param layout)
     scan_pairs: bool = True
+    # fused-eval fast path for scanned stages: read the stacked
+    # stage{i}_pairs params directly and chain the fused block kernels
+    # UNROLLED (no lax.while step overhead, no uniform-carry pre/post rolls;
+    # same params, same math — equivalence-tested)
+    unroll_eval: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
-        b, h, w, c = x.shape
+    def __call__(self, x, train: bool = True, canvas_flat=None):
+        """``canvas_flat``: optional ``(flat (H*W, B*C), (H, W, B))`` —
+        the batch-minor flat canvas of the fused encoder path; patch embed
+        + patch_norm then run as ONE Pallas kernel reading it natively
+        (``ops/pallas_patch_embed``), skipping the conv custom-call's 0.5
+        GB/b8 layout copy. Caller guarantees stride == patch, no padding
+        needed, and no abs-pos-embed."""
         p = self.patch_size
         stride = self.patch_stride or p
-        # mmdet PatchEmbed AdaptivePadding 'corner': pad bottom-right only,
-        # sized for kernel p at stride s (XLA's SAME pads symmetrically and
-        # would break checkpoint activation parity when stride != patch)
-        gh = int(np.ceil(h / stride))
-        gw = int(np.ceil(w / stride))
-        pad_h = max((gh - 1) * stride + p - h, 0)
-        pad_w = max((gw - 1) * stride + p - w, 0)
-        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-        x = nn.Conv(self.embed_dim, (p, p), strides=(stride, stride),
-                    padding="VALID", name="patch_embed")(x)
-        x = x.reshape(b, gh * gw, self.embed_dim)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        if canvas_flat is not None:
+            from mask_bev_tpu.ops.pallas_patch_embed import fused_patch_embed
+
+            flat, (h, w, b) = canvas_flat
+            assert stride == p and h % p == 0 and w % p == 0, (h, w, p, stride)
+            assert not self.use_abs_pos_embed
+            gh, gw = h // p, w // p
+            pe = self.variables["params"]["patch_embed"]
+            pn = self.variables["params"]["patch_norm"]
+            x = fused_patch_embed(
+                flat, pe["kernel"], pe["bias"], pn["scale"], pn["bias"],
+                h=h, w=w, bsz=b, patch=p, out_dtype=flat.dtype,
+                interpret=self.fused_interpret)
+        else:
+            b, h, w, c = x.shape
+            # mmdet PatchEmbed AdaptivePadding 'corner': pad bottom-right
+            # only, sized for kernel p at stride s (XLA's SAME pads
+            # symmetrically and would break checkpoint activation parity
+            # when stride != patch)
+            gh = int(np.ceil(h / stride))
+            gw = int(np.ceil(w / stride))
+            pad_h = max((gh - 1) * stride + p - h, 0)
+            pad_w = max((gw - 1) * stride + p - w, 0)
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+            x = nn.Conv(self.embed_dim, (p, p), strides=(stride, stride),
+                        padding="VALID", name="patch_embed")(x)
+            x = x.reshape(b, gh * gw, self.embed_dim)
+            x = nn.LayerNorm(name="patch_norm")(x)
 
         if self.use_abs_pos_embed:
             pg = self.abs_pos_grid or (gh, gw)
@@ -561,6 +587,58 @@ class SwinTransformer(nn.Module):
                     dpr[block_idx:block_idx + depth],
                     jnp.float32).reshape(depth // 2, 2)
                 block_idx += depth
+                if stage_fused and self.unroll_eval:
+                    # fused-eval unroll: chain the fused block kernels over
+                    # the stacked stage{i}_pairs params directly — the
+                    # lax.while scan step (per-step stacked-weight slices,
+                    # uniform-carry pre/post rolls) costs ~1 ms/b8 at stage 2
+                    # and buys nothing at eval (the pair body is one compiled
+                    # Pallas kernel either way). Same params, same math.
+                    from mask_bev_tpu.ops.pallas_swin_block import (
+                        fused_swin_block)
+
+                    pt = self.variables["params"][f"stage{i}_pairs"]
+                    s_shift = 0 if min(hp, wp) == win else win // 2
+                    n_tok = win * win
+                    xg = jnp.pad(
+                        x.reshape(b, hh, ww, dim),
+                        ((0, 0), (0, hp - hh), (0, wp - ww), (0, 0))
+                    ).reshape(b, hp * wp, dim)
+                    roll = 0
+                    for g in range(depth // 2):
+                        for bi, shift in ((0, 0), (1, s_shift)):
+                            bp = jax.tree.map(lambda a: a[g],
+                                              pt[f"block{bi}"])
+                            msa = bp["attn"]["w_msa"]
+                            idx = _rel_pos_index(win, win)
+                            rel = (msa["rel_pos_bias_table"][idx.reshape(-1)]
+                                   .reshape(n_tok, n_tok, self.num_heads[i])
+                                   .transpose(2, 0, 1))
+                            xg = fused_swin_block(
+                                xg, rel,
+                                bp["norm1"]["scale"], bp["norm1"]["bias"],
+                                msa["qkv"]["kernel"], msa["qkv"]["bias"],
+                                msa["proj"]["kernel"], msa["proj"]["bias"],
+                                bp["norm2"]["scale"], bp["norm2"]["bias"],
+                                bp["ffn_1"]["kernel"], bp["ffn_1"]["bias"],
+                                bp["ffn_2"]["kernel"], bp["ffn_2"]["bias"],
+                                h=hh, w=ww, hp=hp, wp=wp, win=win,
+                                num_heads=self.num_heads[i],
+                                roll_in=roll, shift=shift,
+                                quantize=self.quantize_int8,
+                                interpret=self.fused_interpret)
+                            roll = shift
+                    xg = xg.reshape(b, hp, wp, dim)
+                    if roll:
+                        xg = jnp.roll(xg, roll, axis=1)
+                    x = xg[:, :hh, :ww].reshape(b, hh * ww, dim)
+                    if i in self.out_indices:
+                        y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                        outs.append(y.reshape(b, hw[0], hw[1], dim))
+                    if i < len(self.depths) - 1:
+                        x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)
+                        dim *= 2
+                    continue
                 pair_cls = SwinBlockPair
                 if self.remat and train:
                     pair_cls = nn.remat(

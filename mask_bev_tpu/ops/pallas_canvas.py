@@ -158,16 +158,23 @@ def _canvas_kernel(*refs, rows_per_block: int, width: int, sub: int,
         res = (((acc[...] - mean) * rstd) * scale + bias)
     else:
         res = acc[...]
-    # batch-minor output: out block is (rw, B*C), revisited across the
-    # inner batch grid dim; each step stores its sample's C-wide lane
-    # slice at offset b*C (128-aligned, so Mosaic takes the dynamic
-    # store — a 1-SUBLANE slice of a (rw, B, C) block it rejects).
-    # (hw, b*c) row-major is bitcast-identical to the (b, h, w, c)
-    # {3,0,2,1} layout the patch-embed conv wants — the (B, HW, C) form
-    # cost a 512 MB/b8 layout copy (~1.6 ms) right after this kernel.
     c_ = res.shape[-1]
-    out_ref[:, pl.ds(pl.multiple_of(b * c_, c_), c_)] = (
-        res.astype(out_ref.dtype))
+    if out_ref.ndim == 2:
+        # batch-minor flat output (H*W, B*C): out block is (rw, B*C),
+        # revisited across the inner batch grid dim; each step stores its
+        # sample's C-wide lane slice at offset b*C (128-aligned, so Mosaic
+        # takes the dynamic store — a 1-SUBLANE slice of a (rw, B, C)
+        # block it rejects).
+        out_ref[:, pl.ds(pl.multiple_of(b * c_, c_), c_)] = (
+            res.astype(out_ref.dtype))
+    else:
+        # standard-NHWC output: each (blk, b) step owns its own
+        # (1, rows, W, C) block of the (B, H, W, C) array — the exact
+        # tiled layout the downstream patch-embed conv custom-call wants
+        # (the batch-minor flat form cost a 0.5 GB/b8 relayout, measured
+        # 1.57 ms in the r5 full-graph trace)
+        out_ref[0] = res.reshape(rows_per_block, width, c_).astype(
+            out_ref.dtype)
 
 
 def pick_rows_per_block(h: int, w: int, slots: int = 0) -> int:
@@ -223,6 +230,7 @@ canvas_scatter.defvjp(_canvas_scatter_fwd, _canvas_scatter_bwd)
 def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
                       *, rows_per_block: int = 0, pre_padded: bool = False,
                       norm_stats=None, norm_affine=None, norm_eps: float = 1e-3,
+                      flat_output: bool = False,
                       interpret: bool = False) -> jax.Array:
     """(B, S, C) slot table + (B, S) ascending cell ids -> (B, H, W, C).
 
@@ -313,14 +321,21 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
                     (1, rw, c), lambda blk, bi: (0, blk, 0),
                     memory_space=pltpu.VMEM))
 
+    if flat_output:
+        out_specs = pl.BlockSpec((rw, b * c), lambda blk, bi: (blk, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((h * w, b * c), table.dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, rows_per_block, w, c), lambda blk, bi: (bi, blk, 0, 0),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b, h, w, c), table.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(nblocks, b),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (rw, b * c), lambda blk, bi: (blk, 0),
-            memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h * w, b * c), table.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, sub, c), table.dtype),
             pltpu.VMEM((2, 1, sub), jnp.int32),
@@ -334,7 +349,7 @@ def canvas_from_table(table: jax.Array, cells: jax.Array, valid, grid_hw,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
-    # (hw, b*c) -> (b, h, w, c): pure layout relabeling — XLA folds the
-    # transpose+reshape into a bitcast because the physical order (cells
-    # major, then batch, then channels) IS the conv-preferred {3,0,2,1}
-    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))
+    # flat_output: batch-minor (H*W, B*C) for consumers that read it
+    # natively (ops/pallas_patch_embed.py); otherwise the kernel already
+    # wrote standard NHWC
+    return out

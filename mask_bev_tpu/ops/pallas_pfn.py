@@ -42,8 +42,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _roll_lanes(v, s: int):
-    """Circular out[:, i] = v[:, (i+s) mod L] along the lane axis (native
-    lane rotate; Mosaic's rotate is 32-bit-only, so windowed ops stay f32)."""
+    """Circular out[:, i] = v[:, (i+s) mod L] along the lane axis.
+
+    Mosaic's DYNAMIC rotate is 32-bit-only ("Rotate with non-32-bit data"),
+    so 16-bit arrays take jnp.roll — the shift is static, and the static
+    lowering compiles (probed on the target libtpu) and is exact."""
+    if v.dtype.itemsize == 2:
+        return jnp.roll(v, -s, axis=1)
     return pltpu.roll(v, (-s) % v.shape[1], 1)
 
 
@@ -269,7 +274,8 @@ def fused_stream_pfn(
 def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
                       with_distance: bool, nloads: int, grid_w: int,
                       n_cells: int, n_real: int, tile: int, halo: int,
-                      voxel_size: float, x0: float, y0: float):
+                      voxel_size: float, x0: float, y0: float,
+                      pool_bf16: bool = False):
     """args = 5 * nloads column load refs (x y z inten pid, each column as
     nloads (1, 128) blocks), [Wt_i, g_i, b_i] * n_layers,
     feat_ref, cells_ref, carry_ref."""
@@ -328,12 +334,21 @@ def _pfn_slots_kernel(*args, n_layers: int, k: int, point_dim: int,
         y = jnp.dot(wt[...], x.astype(wt.dtype),
                     preferred_element_type=jnp.float32)
         z = jnp.maximum(y * g[...] + bias[...], 0.0) * kept
+        if pool_bf16:
+            # pool in bf16: the windowed max is the kernel's VPU bottleneck
+            # (25 gated lane-roll passes over (C, span)); halving the element
+            # width halves the vreg traffic. EXACT vs pooling f32 then
+            # rounding: round-to-nearest is monotone, so
+            # max(bf16(x_i)) == bf16(max(x_i)), and the downstream consumers
+            # (next layer's dot in bf16 weights, the bf16 feature table)
+            # already round these values identically.
+            z = z.astype(jnp.bfloat16)
         last = li == n_layers - 1
         pooled = _win_max(z, pid, k, symmetric=not last)
         x = pooled if last else jnp.concatenate([z, pooled], axis=0)
 
     c_out = x.shape[0]
-    pooled_g = x * firstf                       # (C, span)
+    pooled_g = x * firstf.astype(x.dtype)       # (C, span)
 
     # ascending dup-filled cells: prefix max of start cells, combined with
     # the carry (history older than this tile's halo — runs can outspan it)
@@ -372,7 +387,7 @@ def fused_stream_pfn_slots(
     *, point_dim: int, with_distance: bool, k: int, grid_w: int,
     grid_h: int, voxel_size: float, x0: float, y0: float,
     tile: int = 4096, canvas_pad: int = 0,
-    pre_padded: bool = False, interpret: bool = False,
+    pre_padded: bool = False, pool_bf16=None, interpret: bool = False,
 ):
     """Sorted column streams -> (feats (B,N,C) bf16, cells (B,N) f32,
     stats (B,2,C) f32 [sum, sumsq] over the written feature rows).
@@ -447,11 +462,20 @@ def fused_stream_pfn_slots(
                    bias.astype(f32)[:, None]]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
 
+    if pool_bf16 is None:
+        # auto: bf16 pooling is value-exact only when every consumer of the
+        # pooled features already rounds to bf16 — i.e. bf16 layer weights.
+        # Gated on MASKBEV_PFN_POOL_BF16=1 until the Mosaic lowering of the
+        # packed-lane roll is verified on the target libtpu (plain
+        # pltpu.roll on bf16 is rejected: "Rotate with non-32-bit data").
+        import os
+        pool_bf16 = (all(w.dtype == jnp.bfloat16 for (w, _, _) in weights)
+                     and os.environ.get("MASKBEV_PFN_POOL_BF16", "0") == "1")
     kernel = functools.partial(
         _pfn_slots_kernel, n_layers=n_layers, k=k, point_dim=point_dim,
         with_distance=with_distance, nloads=nloads, grid_w=grid_w,
         n_cells=grid_h * grid_w, n_real=n, tile=tile, halo=halo,
-        voxel_size=voxel_size, x0=x0, y0=y0)
+        voxel_size=voxel_size, x0=x0, y0=y0, pool_bf16=bool(pool_bf16))
 
     feats, cells8 = pl.pallas_call(
         kernel,

@@ -39,6 +39,16 @@ def main():
     ap.add_argument("--no-int8", action="store_true",
                     help="force backbone_quantize='none' (A/B against the "
                          "now-default int8 eval backbone)")
+    ap.add_argument("--fuse-embed", action="store_true",
+                    help="fused canvas->patch-embed->LN kernel (A/B; only "
+                         "affects the --full graph, the staged phase API "
+                         "keeps the NHWC contract)")
+    ap.add_argument("--scan-eval", action="store_true",
+                    help="keep the nn.scan deep-stage step at eval (A/B "
+                         "against the default unrolled fused-eval path)")
+    ap.add_argument("--pfn-bf16", action="store_true",
+                    help="bf16 windowed pooling in the slot-PFN kernel "
+                         "(A/B; needs Mosaic packed-lane roll support)")
     ap.add_argument("--full", action="store_true",
                     help="also time the whole forward as ONE jit (the bench "
                          "configuration — cross-stage layouts/fusions live)")
@@ -69,6 +79,12 @@ def main():
         cfg = cfg.replace(backbone_quantize="int8")
     if args.no_int8:
         cfg = cfg.replace(backbone_quantize="none")
+    if args.fuse_embed:
+        cfg = cfg.replace(fuse_patch_embed=True)
+    if args.scan_eval:
+        cfg = cfg.replace(backbone_unroll_eval=False)
+    if args.pfn_bf16:
+        os.environ["MASKBEV_PFN_POOL_BF16"] = "1"
     model = MaskBev(cfg)
     n = cfg.max_points_per_scan
     r0 = np.random.default_rng(0)

@@ -52,6 +52,7 @@ def main():
 
     per_op = collections.Counter()
     per_group = collections.Counter()
+    per_scope = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -62,6 +63,20 @@ def main():
         name = e.get("name", "?")
         per_op[name] += dur
         per_group[group_name(name)] += dur
+        # XLA op events carry HLO metadata: args.long_name / args.tf_op hold
+        # the jax source scope ('jit(fwd)/.../MaskBev/backbone/...') — the
+        # only way to attribute anonymous fusion.N ops to model components
+        args_ = e.get("args") or {}
+        scope = args_.get("long_name") or args_.get("tf_op") or ""
+        if scope:
+            # keep the leading path components that name a model part
+            parts = re.split(r"[;,]", scope)[0].split("/")
+            keep = [p for p in parts if not re.match(
+                r"^(jit|jvp|transpose|while|body|cond|branch|scan|remat)",
+                p)]
+            per_scope["/".join(keep[:4]) or scope[:60]] += dur
+        else:
+            per_scope[f"<no-scope> {group_name(name)}"] += dur
         total += dur
 
     print(f"trace: {path}")
@@ -72,6 +87,9 @@ def main():
         print(f"{dur / 1e3:9.2f} ms  {100 * dur / max(total, 1):5.1f}%  {name[:110]}")
     print(f"\n== top {args.top} op groups ==")
     for name, dur in per_group.most_common(args.top):
+        print(f"{dur / 1e3:9.2f} ms  {100 * dur / max(total, 1):5.1f}%  {name[:110]}")
+    print(f"\n== top {args.top} source scopes ==")
+    for name, dur in per_scope.most_common(args.top):
         print(f"{dur / 1e3:9.2f} ms  {100 * dur / max(total, 1):5.1f}%  {name[:110]}")
 
 

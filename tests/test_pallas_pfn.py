@@ -148,3 +148,45 @@ def test_slots_kernel_matches_xla_canvas(rng, tile):
     np.testing.assert_allclose(
         np.asarray(stats)[:, 1], (tbl16 ** 2).sum(axis=1),
         rtol=2e-2, atol=2e-2 * max(scale, 1.0) ** 2)
+
+
+def test_slots_kernel_bf16_pooling_exact(rng):
+    """pool_bf16=True (bf16 windowed max — half the vreg traffic of the
+    kernel's VPU bottleneck) must be value-EXACT vs f32 pooling when the
+    layer weights are bf16: round-to-nearest is monotone, so
+    max(bf16(x_i)) == bf16(max(x_i)), and every downstream consumer (next
+    layer's bf16-weight dot, the bf16 feature table) rounds identically."""
+    from mask_bev_tpu.ops.pallas_pfn import fused_stream_pfn_slots
+    from mask_bev_tpu.ops.stream_pillars import pillarize_stream_packed
+
+    geo = dict(x_range=(-5.0, 5.0), y_range=(-5.0, 5.0), z_range=(-4.0, 4.0),
+               voxel_size=0.5)
+    h = w = 20
+    k, n, b = 8, 1024, 2
+    pts = rng.uniform(-4.8, 4.8, (b, n, 4)).astype(np.float32)
+    pts[:, :, 2] = rng.uniform(-3, 3, (b, n))
+    pts[0, 100:300, :2] = 2.05      # long run (> k, crosses tiles)
+    msk = np.ones((b, n), bool)
+    pj, mj = jnp.asarray(pts), jnp.asarray(msk)
+
+    fc = (16, 16, 32)
+    pfn = PillarFeatureNet(
+        feat_channels=fc, x_range=geo["x_range"], y_range=geo["y_range"],
+        z_range=geo["z_range"], voxel_size=geo["voxel_size"],
+        max_points_per_pillar=k, use_pallas=False)
+    sp = pillarize_stream_batch(pts, msk, max_points_per_pillar=k,
+                                max_pillars=1024, **geo)
+    variables = pfn.init(jax.random.PRNGKey(0), sp, train=False)
+    weights = [(wm.astype(jnp.bfloat16), g, bb)
+               for (wm, g, bb) in _folded_weights(variables, 3)]
+
+    p8 = pillarize_stream_packed(pj, mj, **geo)
+    kw = dict(point_dim=4, with_distance=True, k=k, grid_w=w, grid_h=h,
+              voxel_size=geo["voxel_size"], x0=geo["x_range"][0],
+              y0=geo["y_range"][0], tile=256, interpret=True)
+    f16, c16, s16 = fused_stream_pfn_slots(p8, weights, pool_bf16=True, **kw)
+    f32p, c32p, s32p = fused_stream_pfn_slots(p8, weights, pool_bf16=False,
+                                              **kw)
+    np.testing.assert_array_equal(np.asarray(f16), np.asarray(f32p))
+    np.testing.assert_array_equal(np.asarray(c16), np.asarray(c32p))
+    np.testing.assert_array_equal(np.asarray(s16), np.asarray(s32p))

@@ -80,3 +80,23 @@ def test_scanned_pairs_train_bf16_dtype_stable():
                   rngs={"dropout": jax.random.PRNGKey(2)})
     assert out[0].dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out[0], np.float32)).all()
+
+
+def test_unroll_eval_matches_scanned_fused():
+    """The fused-eval unroll (chained kernels over the stacked stage params,
+    no lax.while step / uniform-carry rolls) must reproduce the scanned
+    fused path EXACTLY: same token partition per band, same math, only the
+    roll-state bookkeeping differs."""
+    import jax.numpy as jnp
+
+    kw = dict(embed_dim=32, depths=(4,), num_heads=(4,), window=4,
+              out_indices=(0,), use_pallas=False, use_pallas_block=True,
+              fused_interpret=True)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 9 * 4, 7 * 4, 3)), jnp.float32)
+    scanned = SwinTransformer(unroll_eval=False, **kw)
+    params = scanned.init(jax.random.PRNGKey(0), x, train=False)
+    want = scanned.apply(params, x, train=False)
+    unrolled = SwinTransformer(unroll_eval=True, **kw)
+    got = unrolled.apply(params, x, train=False)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
