@@ -481,6 +481,11 @@ class SwinTransformer(nn.Module):
     # int8 dynamic quantization of the fused blocks' dense matmuls (row
     # layout only; A/B-gated, fidelity documented in ARCHITECTURE.md)
     quantize_int8: bool = False
+    # fused Pallas token-LayerNorm for patch_norm/out_norm on the eval
+    # path: LOST its r5 A/B (full 35.66 vs 34.42 ms/b8 — XLA fuses these
+    # LNs with their neighbors; the standalone kernel breaks that and adds
+    # narrow-lane pipeline overhead). Kept opt-in for future libtpus.
+    fuse_ln: bool = False
     # rematerialize blocks in training (trade recompute for activation
     # memory; lets bigger global batches fit HBM)
     remat: bool = False
@@ -503,6 +508,24 @@ class SwinTransformer(nn.Module):
         needed, and no abs-pos-embed."""
         p = self.patch_size
         stride = self.patch_stride or p
+        fuse_blocks = (
+            self.use_pallas_block and not train
+            and not self.is_initializing()  # init traces f32 at full dims
+            and (self.fused_interpret or jax.default_backend() == "tpu"))
+
+        def _ln(name: str, t):
+            # opt-in fused token LayerNorm (see fuse_ln attr: measured
+            # LOSS vs XLA's neighbor-fused lowering on v5e, default off);
+            # params stay under the flax module names either way
+            if fuse_blocks and self.fuse_ln:
+                from mask_bev_tpu.ops.pallas_layer_norm import (
+                    fused_layer_norm)
+
+                lp = self.variables["params"][name]
+                return fused_layer_norm(t, lp["scale"], lp["bias"],
+                                        interpret=self.fused_interpret)
+            return nn.LayerNorm(name=name)(t)
+
         if canvas_flat is not None:
             from mask_bev_tpu.ops.pallas_patch_embed import fused_patch_embed
 
@@ -530,7 +553,7 @@ class SwinTransformer(nn.Module):
             x = nn.Conv(self.embed_dim, (p, p), strides=(stride, stride),
                         padding="VALID", name="patch_embed")(x)
             x = x.reshape(b, gh * gw, self.embed_dim)
-            x = nn.LayerNorm(name="patch_norm")(x)
+            x = _ln("patch_norm", x)
 
         if self.use_abs_pos_embed:
             pg = self.abs_pos_grid or (gh, gw)
@@ -552,10 +575,6 @@ class SwinTransformer(nn.Module):
         # per-block stochastic-depth rates, linearly scaled to drop_path_rate
         dpr = [self.drop_path_rate * i / max(total_depth - 1, 1)
                for i in range(total_depth)]
-        fuse_blocks = (
-            self.use_pallas_block and not train
-            and not self.is_initializing()  # init traces f32 at full dims
-            and (self.fused_interpret or jax.default_backend() == "tpu"))
         block_idx = 0
         for i, depth in enumerate(self.depths):
             # compiled fusion only at production head dims (hd = 64k): tiny
@@ -633,7 +652,7 @@ class SwinTransformer(nn.Module):
                         xg = jnp.roll(xg, roll, axis=1)
                     x = xg[:, :hh, :ww].reshape(b, hh * ww, dim)
                     if i in self.out_indices:
-                        y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                        y = _ln(f"out_norm{i}", x)
                         outs.append(y.reshape(b, hw[0], hw[1], dim))
                     if i < len(self.depths) - 1:
                         x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)
@@ -671,7 +690,7 @@ class SwinTransformer(nn.Module):
                 else:
                     x, _ = pair(x, dps)
                 if i in self.out_indices:
-                    y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                    y = _ln(f"out_norm{i}", x)
                     outs.append(y.reshape(b, hw[0], hw[1], dim))
                 if i < len(self.depths) - 1:
                     x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)
@@ -739,7 +758,7 @@ class SwinTransformer(nn.Module):
                     # positional: remat static_argnums address (hw, train)
                     x = blk(x, hw, train)
             if i in self.out_indices:
-                y = nn.LayerNorm(name=f"out_norm{i}")(x)
+                y = _ln(f"out_norm{i}", x)
                 outs.append(y.reshape(b, hw[0], hw[1], dim))  # (B, H, W, C)
             if i < len(self.depths) - 1:
                 x, hw = PatchMerging(dim * 2, name=f"merge{i}")(x, hw)

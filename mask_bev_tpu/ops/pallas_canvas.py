@@ -198,6 +198,20 @@ def pick_rows_per_block(h: int, w: int, slots: int = 0) -> int:
     return first
 
 
+def _canvas_nhwc_via_flat(table, cells, valid, grid_hw):
+    """Flat kernel output + XLA transpose to NHWC — the TRAIN-path form.
+
+    The kernel's direct 4-D NHWC output (eval default) PINS that layout;
+    in the train graph the backward's gather then pays a forced relayout
+    around it (bench train step 327 -> 425 ms/b4 when the pinned form was
+    used). Emitting flat and letting XLA place the transpose keeps the
+    layout choice with the compiler."""
+    h, w = grid_hw
+    b, _, c = table.shape
+    out = canvas_from_table(table, cells, valid, grid_hw, flat_output=True)
+    return jnp.transpose(out.reshape(h, w, b, c), (2, 0, 1, 3))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def canvas_scatter(table, cells, valid, grid_hw):
     """Differentiable pillar-table -> canvas scatter (Pallas forward).
@@ -206,11 +220,11 @@ def canvas_scatter(table, cells, valid, grid_hw):
     canvas cell, so d_table = gather(d_canvas, cells) — the training step
     gets the kernel's speed without a Pallas VJP.
     """
-    return canvas_from_table(table, cells, valid, grid_hw)
+    return _canvas_nhwc_via_flat(table, cells, valid, grid_hw)
 
 
 def _canvas_scatter_fwd(table, cells, valid, grid_hw):
-    return canvas_from_table(table, cells, valid, grid_hw), (cells, valid)
+    return _canvas_nhwc_via_flat(table, cells, valid, grid_hw), (cells, valid)
 
 
 def _canvas_scatter_bwd(grid_hw, res, g):
