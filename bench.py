@@ -22,7 +22,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def _arm_watchdog(seconds: int = 1500):
+def _arm_watchdog(seconds: int = 3000):
     """Fail fast if the TPU attachment relay is wedged: a hung
     ``jax.devices()`` would otherwise stall the calling harness forever.
     Dumps all thread tracebacks, then hard-exits nonzero."""
